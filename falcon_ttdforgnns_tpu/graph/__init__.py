@@ -1,0 +1,12 @@
+from .csr import CSRGraph, NodeDataset, synthetic_dataset, get_dataset, rmat_edges, DATASET_SCALES
+from .sampler import NeighborLoader, SampledBatch, sample_block, full_neighbor_chunks, pad_csr_rows
+from .reorder import (
+    reorder_permutation,
+    partition_reorder,
+    recursive_partition_reorder,
+    rcmk_reorder,
+    degree_reorder,
+    random_permutation,
+    louvain_partition_reorder,
+    partition_graph,
+)

@@ -1,0 +1,233 @@
+"""Host-side graph container (CSR) and dataset plumbing.
+
+TPU-native replacement for the reference's DGL graph objects
+(`graphloader.py:160-235` ``dgl_graph_loader``): the graph lives in host
+RAM as numpy CSR (the analog of the reference's ``--mode mixed`` UVA
+layout, `sage_dgl_partition.py:238`), samplers produce *static-shape*
+device batches, and node "features" are just the node ids — the TT
+embedding layer owns the features (`graphloader.py:225-231`).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, replace
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class CSRGraph:
+    """Directed graph in CSR form: out-neighbors of u are
+    ``indices[indptr[u]:indptr[u+1]]``.
+
+    For message passing we treat edges as (src=neighbor, dst=u) like DGL's
+    in-edge convention after the loader adds reverse edges
+    (`graphloader.py:170-180`), so the CSR here lists, for each
+    *destination* node, its incoming neighbors.
+    """
+
+    indptr: np.ndarray  # (N+1,) int64
+    indices: np.ndarray  # (E,) int32/int64
+    num_nodes: int
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.indices.shape[0])
+
+    @property
+    def degrees(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    def __post_init__(self):
+        self.indptr = np.asarray(self.indptr, dtype=np.int64)
+        self.indices = np.asarray(self.indices, dtype=np.int32)
+
+    @staticmethod
+    def from_edges(src: np.ndarray, dst: np.ndarray, num_nodes: int,
+                   add_reverse: bool = True, dedup: bool = False) -> "CSRGraph":
+        """Build in-neighbor CSR from an edge list.  ``add_reverse`` mirrors
+        the reference's to-bidirected transform (`graphloader.py:170-180`)."""
+        if add_reverse:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+        if dedup:
+            key = dst.astype(np.int64) * num_nodes + src.astype(np.int64)
+            keep = np.ones(len(key), dtype=bool)
+            keep[1:] = key[1:] != key[:-1]
+            src, dst = src[keep], dst[keep]
+        indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+        np.add.at(indptr, dst + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        return CSRGraph(indptr=indptr, indices=src.astype(np.int32), num_nodes=num_nodes)
+
+    def to_coo(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(src, dst) edge arrays; dst is the CSR row."""
+        dst = np.repeat(np.arange(self.num_nodes, dtype=np.int32), self.degrees)
+        return self.indices.copy(), dst
+
+    def permute(self, perm: np.ndarray) -> "CSRGraph":
+        """Relabel nodes: new id of old node u is ``perm[u]``.
+
+        This is the reorder primitive behind METIS/RCMK locality
+        preprocessing (`graphloader.py:399-454`).
+        """
+        src, dst = self.to_coo()
+        return CSRGraph.from_edges(perm[src], perm[dst], self.num_nodes, add_reverse=False)
+
+
+@dataclass
+class NodeDataset:
+    """A node-classification dataset: graph + labels + split masks.
+
+    Feature tensor is intentionally absent: models consume node *ids* and
+    reconstruct features from the TT table (or a dense embedding for the
+    no-TT baseline), exactly as the reference wires it
+    (`graphloader.py:225-231`).
+    """
+
+    graph: CSRGraph
+    labels: np.ndarray        # (N,) int32, -1 for unlabeled
+    train_idx: np.ndarray
+    val_idx: np.ndarray
+    test_idx: np.ndarray
+    num_classes: int
+    feat_dim: int
+    name: str = "synthetic"
+    feats: Optional[np.ndarray] = None  # optional dense features (no-TT baseline)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.graph.num_nodes
+
+    def permute(self, perm: np.ndarray) -> "NodeDataset":
+        """Apply a node relabeling to graph, labels, splits, features
+        (the mask bookkeeping of `graphloader.py:449-452`)."""
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        labels = self.labels[inv]
+        feats = self.feats[inv] if self.feats is not None else None
+        return replace(
+            self,
+            graph=self.graph.permute(perm),
+            labels=labels,
+            train_idx=np.sort(perm[self.train_idx]),
+            val_idx=np.sort(perm[self.val_idx]),
+            test_idx=np.sort(perm[self.test_idx]),
+            feats=feats,
+        )
+
+
+# ---------------------------------------------------------------------------
+# synthetic datasets (the image has no OGB download path; tests/benches use
+# generated graphs with matching scale knobs)
+# ---------------------------------------------------------------------------
+
+def rmat_edges(num_nodes: int, num_edges: int, seed: int = 0,
+               a: float = 0.57, b: float = 0.19, c: float = 0.19) -> Tuple[np.ndarray, np.ndarray]:
+    """R-MAT power-law edge generator (Graph500-style) — produces the skewed
+    degree distributions that make the LFU hot-row cache meaningful."""
+    rng = np.random.default_rng(seed)
+    scale = max(1, int(np.ceil(np.log2(num_nodes))))
+    src = np.zeros(num_edges, dtype=np.int64)
+    dst = np.zeros(num_edges, dtype=np.int64)
+    for level in range(scale):
+        r = rng.random(num_edges)
+        src_bit = (r > a + b).astype(np.int64)
+        # quadrant probabilities: [a, b; c, d]
+        dst_bit = np.where(src_bit == 0, (r > a).astype(np.int64), (r > a + b + c).astype(np.int64))
+        src = (src << 1) | src_bit
+        dst = (dst << 1) | dst_bit
+    src %= num_nodes
+    dst %= num_nodes
+    keep = src != dst
+    return src[keep].astype(np.int64), dst[keep].astype(np.int64)
+
+
+def synthetic_dataset(
+    num_nodes: int = 10_000,
+    avg_degree: int = 10,
+    num_classes: int = 16,
+    feat_dim: int = 64,
+    seed: int = 0,
+    name: str = "synthetic",
+    community_classes: bool = True,
+) -> NodeDataset:
+    """Power-law graph with community-correlated labels so GNNs can actually
+    learn (labels = hash of high index bits + noise → neighborhood-coherent
+    after RMAT locality)."""
+    rng = np.random.default_rng(seed)
+    src, dst = rmat_edges(num_nodes, num_nodes * avg_degree, seed=seed)
+    graph = CSRGraph.from_edges(src, dst, num_nodes, add_reverse=True)
+
+    if community_classes:
+        # RMAT quadrant structure => high bits of the id define communities.
+        n_comm = num_classes
+        comm = (np.arange(num_nodes) * n_comm // num_nodes).astype(np.int32)
+        labels = comm.copy()
+        flip = rng.random(num_nodes) < 0.1
+        labels[flip] = rng.integers(0, num_classes, int(flip.sum()))
+    else:
+        labels = rng.integers(0, num_classes, num_nodes).astype(np.int32)
+
+    perm = rng.permutation(num_nodes)
+    n_train = int(0.6 * num_nodes)
+    n_val = int(0.2 * num_nodes)
+    return NodeDataset(
+        graph=graph,
+        labels=labels.astype(np.int32),
+        train_idx=np.sort(perm[:n_train]).astype(np.int64),
+        val_idx=np.sort(perm[n_train:n_train + n_val]).astype(np.int64),
+        test_idx=np.sort(perm[n_train + n_val:]).astype(np.int64),
+        num_classes=num_classes,
+        feat_dim=feat_dim,
+        name=name,
+    )
+
+
+# Scale presets mirroring BASELINE.md's dataset table.
+DATASET_SCALES: Dict[str, dict] = {
+    "ogbn-arxiv": dict(num_nodes=169_343, avg_degree=7, num_classes=40, feat_dim=128),
+    "ogbn-products": dict(num_nodes=2_449_029, avg_degree=25, num_classes=47, feat_dim=100),
+    "ogbn-papers100M": dict(num_nodes=111_059_956, avg_degree=15, num_classes=172, feat_dim=128),
+}
+
+
+def load_ogb_dataset(name: str, root: str = "dataset") -> NodeDataset:
+    """Load a real OGB dataset if the ``ogb`` package and data are present
+    (API parity with `graphloader.py:160-235`); raises ImportError otherwise
+    — callers fall back to :func:`synthetic_dataset` at matching scale."""
+    from ogb.nodeproppred import NodePropPredDataset  # gated: not in image
+
+    ds = NodePropPredDataset(name=name, root=root)
+    split = ds.get_idx_split()
+    graph_data, labels = ds[0]
+    src, dst = graph_data["edge_index"]
+    n = graph_data["num_nodes"]
+    graph = CSRGraph.from_edges(src, dst, n, add_reverse=True)
+    labels = labels.squeeze().astype(np.int32)
+    return NodeDataset(
+        graph=graph,
+        labels=labels,
+        train_idx=split["train"].astype(np.int64),
+        val_idx=split["valid"].astype(np.int64),
+        test_idx=split["test"].astype(np.int64),
+        num_classes=int(labels.max()) + 1,
+        feat_dim=graph_data["node_feat"].shape[1] if graph_data.get("node_feat") is not None else 100,
+        name=name,
+        feats=graph_data.get("node_feat"),
+    )
+
+
+def get_dataset(name: str, synthetic_scale: float = 1.0, seed: int = 0, root: str = "dataset") -> NodeDataset:
+    """OGB when available, otherwise a synthetic graph at (scaled) matching
+    size.  ``synthetic_scale < 1`` shrinks node count for tests."""
+    try:
+        return load_ogb_dataset(name, root)
+    except Exception:
+        pass
+    cfg = dict(DATASET_SCALES.get(name, dict(num_nodes=10_000, avg_degree=10, num_classes=16, feat_dim=64)))
+    cfg["num_nodes"] = max(1000, int(cfg["num_nodes"] * synthetic_scale))
+    return synthetic_dataset(seed=seed, name=name, **cfg)

@@ -1,0 +1,128 @@
+"""GraphSAGE with TT-compressed node embeddings.
+
+Re-design of the reference SAGE (`gnn_model.py:50-253`): same layer stack
+(TT/dense embedding -> L SAGEConv layers -> logits), but training runs on
+the sampler's *dense-fanout* tensors (static shapes, reshape+mean
+aggregation) instead of DGL bipartite blocks, and layer-wise full-neighbor
+inference runs as edge-chunked COO SpMM over the whole graph
+(`gnn_model.py:220-253`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import SAGEConv
+from ..nn.tt_embedding import TTEmbeddingBag, DenseEmbedding, AccessCountingEmbedding
+from ..ops.segment import spmm_mean
+
+
+def make_embed_layer(num_nodes: int, feat_dim: int, use_tt: bool = True,
+                     tt_ranks: Sequence[int] = (16, 16),
+                     p_shapes: Optional[Sequence[int]] = None,
+                     q_shapes: Optional[Sequence[int]] = None,
+                     weight_dist: str = "approx-normal",
+                     cache_size: int = 0,
+                     access_counts: bool = False,
+                     precomputed_cores=None) -> nn.Module:
+    """Embedding layer selection, parity with `gnn_model.py:107-190`."""
+    if use_tt:
+        return TTEmbeddingBag(
+            num_embeddings=num_nodes, embedding_dim=feat_dim,
+            tt_ranks=tuple(tt_ranks),
+            p_shapes=tuple(p_shapes) if p_shapes else None,
+            q_shapes=tuple(q_shapes) if q_shapes else None,
+            weight_dist=weight_dist, cache_size=cache_size,
+            precomputed_cores=precomputed_cores, name="embed")
+    if access_counts:
+        return AccessCountingEmbedding(num_nodes, feat_dim, name="embed")
+    return DenseEmbedding(num_nodes, feat_dim, name="embed")
+
+
+class SAGE(nn.Module):
+    """num_layers == len(fanouts); hidden width and dropout mirror the
+    reference defaults (`tt_utils.py:44-47`: 256 hidden, 3 layers, 0.5
+    dropout)."""
+
+    num_nodes: int
+    in_dim: int
+    hidden_dim: int
+    num_classes: int
+    num_layers: int = 3
+    dropout: float = 0.5
+    use_tt: bool = True
+    tt_ranks: Tuple[int, ...] = (16, 16)
+    p_shapes: Optional[Tuple[int, ...]] = None
+    q_shapes: Optional[Tuple[int, ...]] = None
+    weight_dist: str = "approx-normal"
+    cache_size: int = 0
+    access_counts: bool = False
+    precomputed_cores: Optional[tuple] = None
+
+    def setup(self):
+        self.embed_layer = make_embed_layer(
+            self.num_nodes, self.in_dim, self.use_tt, self.tt_ranks,
+            self.p_shapes, self.q_shapes, self.weight_dist, self.cache_size,
+            self.access_counts, self.precomputed_cores)
+        dims = [self.hidden_dim] * (self.num_layers - 1) + [self.num_classes]
+        self.convs = [SAGEConv(d, name=f"conv_{i}") for i, d in enumerate(dims)]
+        self.dropout_layer = nn.Dropout(self.dropout)
+
+    def embed_nodes(self, ids: jax.Array, count_accesses: bool = True) -> jax.Array:
+        return self.embed_layer(ids.reshape(-1), None, count_accesses).reshape(
+            (*ids.shape, self.in_dim))
+
+    def __call__(self, seeds: jax.Array, layers: Sequence[jax.Array],
+                 train: bool = False) -> jax.Array:
+        """Dense-fanout forward.
+
+        seeds (B,); layers[l] (B, F_{l+1}) node ids, innermost level last
+        (the sampler's SampledBatch.layers).  One embedding lookup covers
+        every level — maximizing TT group-dedup and cache hits, mirroring
+        the reference's single lookup over block input nodes
+        (`gnn_model.py:196-204`).
+        """
+        B = seeds.shape[0]
+        levels: List[jax.Array] = [seeds.reshape(B, 1)] + [l.reshape(B, -1) for l in layers]
+        sizes = [lv.shape[1] for lv in levels]
+        all_ids = jnp.concatenate([lv.reshape(-1) for lv in levels])
+        h_all = self.embed_layer(all_ids, None, train)
+        hs, off = [], 0
+        for sz in sizes:
+            hs.append(h_all[off:off + sz * B].reshape(B, sz, self.in_dim))
+            off += sz * B
+
+        for li, conv in enumerate(self.convs):
+            new_hs = []
+            for lev in range(len(hs) - 1):
+                f = hs[lev + 1].shape[1] // hs[lev].shape[1]
+                d = hs[lev].shape[-1]
+                h_neigh = hs[lev + 1].reshape(B, hs[lev].shape[1], f, d).mean(axis=2)
+                h = conv(hs[lev], h_neigh)
+                if li < self.num_layers - 1:
+                    h = nn.relu(h)
+                    h = self.dropout_layer(h, deterministic=not train)
+                new_hs.append(h)
+            hs = new_hs
+        return hs[0][:, 0, :]  # (B, num_classes)
+
+    def forward_full(self, h: jax.Array, src: jax.Array, dst: jax.Array,
+                     in_deg: jax.Array, num_nodes: int,
+                     layer_idx: int, chunk: int = 1 << 22) -> jax.Array:
+        """One conv layer over the full graph (layer-wise inference,
+        `gnn_model.py:236-252`).  Called once per layer by the inference
+        driver with the previous layer's full (N, D) activations."""
+        h_neigh = spmm_mean(h, src, dst, num_nodes, in_deg, chunk=chunk)
+        h_out = self.convs[layer_idx](h_dst=h, h_neigh=h_neigh)
+        if layer_idx < self.num_layers - 1:
+            h_out = nn.relu(h_out)
+        return h_out
+
+    def materialize_features(self, node_ids: jax.Array) -> jax.Array:
+        """Chunk of the full feature table via TT reconstruction
+        (`gnn_model.py:228-234`)."""
+        return self.embed_layer(node_ids, None, False)

@@ -1,0 +1,2 @@
+from .layers import SAGEConv, GraphConv, GATConv, Bias, segment_mean
+from .tt_embedding import TTEmbeddingBag, DenseEmbedding, AccessCountingEmbedding

@@ -1,0 +1,186 @@
+"""TTEmbeddingBag — the framework's flagship module.
+
+Functional flax re-design of the reference's ``TTEmbeddingBag`` /
+``TableBatchedTTEmbeddingBag`` (`FBTT/tt_embeddings_ops.py:432-965`) and
+``Eff_TTEmbedding`` (`Efficient_TT/efficient_tt.py:75-307`):
+
+- TT cores are flax params (shape ``(p, r, q, r')`` per core);
+- lookup uses the grouped (Efficient_TT-dedup) forward with the
+  unique-reduced custom-VJP backward (ops/tt_lookup.py);
+- the LFU hot-row cache lives in a mutable ``ttcache`` variable collection
+  with the reference's warmup -> populate -> cached-serving lifecycle
+  (SURVEY.md §3.5);
+- ``num_tables`` batching is expressed with ``nn.vmap`` when needed
+  (the GNN drivers only ever use one table).
+
+The in-kernel fused sparse optimizers of the reference (SGD applied inside
+backward, returning None grads — `tt_embeddings_ops.py:288-312`) are
+deliberately NOT replicated mechanically: JAX is functional, so "fused
+sparse update" means the train step routes TT-core grads through a
+dedicated optax transform (see train/optim.py) while everything stays
+differentiable.  Semantics preserved, double-lr bug (Adam over cores *and*
+in-kernel SGD) not replicated (SURVEY.md §7 watch-items).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import cache as cache_ops
+from ..ops.tt_lookup import tt_embedding_bag, tt_lookup, tt_to_full
+from ..ops.tt_shapes import TTShapes, make_tt_shapes
+from ..ops import tt_init
+
+
+def _core_init(shapes: TTShapes, weight_dist: str, k: int, seed: int) -> Callable:
+    # NOTE: the rng key is ignored — flax re-runs param init fns under
+    # jax.eval_shape to validate shapes during apply, so the init must be
+    # traceable; the host-side numpy init draws from a static seed instead.
+    def init(key, shape=None, dtype=jnp.float32):
+        cores = tt_init.init_tt_cores(shapes, weight_dist, seed=seed + 7919 * k)
+        return jnp.asarray(cores[k], dtype=dtype)
+
+    return init
+
+
+class TTEmbeddingBag(nn.Module):
+    """TT-compressed embedding bag with optional LFU row cache.
+
+    Args mirror the reference constructor
+    (`FBTT/tt_embeddings_ops.py:465-530`): num_embeddings, embedding_dim,
+    ranks, p/q shapes, weight_dist, cache_size.  ``precomputed_cores``
+    allows the ortho/eigen/dortho init schemes (host numpy arrays,
+    `gnn_model.py:129-178`).
+    """
+
+    num_embeddings: int
+    embedding_dim: int
+    tt_ranks: Tuple[int, ...] = (16, 16)
+    p_shapes: Optional[Tuple[int, ...]] = None
+    q_shapes: Optional[Tuple[int, ...]] = None
+    weight_dist: str = "approx-normal"
+    cache_size: int = 0
+    grouped: bool = True
+    precomputed_cores: Optional[Tuple[np.ndarray, ...]] = None
+    init_seed: int = 0
+
+    @property
+    def shapes(self) -> TTShapes:
+        return make_tt_shapes(self.num_embeddings, self.embedding_dim,
+                              self.tt_ranks, self.p_shapes, self.q_shapes)
+
+    def setup(self):
+        shapes = self.shapes
+        if self.precomputed_cores is not None:
+            self.cores = tuple(
+                self.param(f"tt_core_{k}", lambda key, c=c: jnp.asarray(c, jnp.float32))
+                for k, c in enumerate(self.precomputed_cores)
+            )
+        else:
+            self.cores = tuple(
+                self.param(f"tt_core_{k}",
+                           _core_init(shapes, self.weight_dist, k, self.init_seed),
+                           shapes.core_shape(k))
+                for k in range(shapes.ndim)
+            )
+        if self.cache_size > 0:
+            self.cache_weight = self.param(
+                "cache_weight", nn.initializers.zeros,
+                (self.cache_size, self.embedding_dim))
+            self.cache_meta = self.variable(
+                "ttcache", "meta",
+                lambda: cache_ops.init_meta(self.num_embeddings, self.cache_size))
+
+    def __call__(self, indices: jax.Array, offsets: Optional[jax.Array] = None,
+                 count_accesses: bool = True) -> jax.Array:
+        """indices (B,) -> (B, D) (or (num_bags, D) with offsets).
+
+        Forward lifecycle parity with `tt_embeddings_ops.py:837-903`:
+        update LFU counters, split cached/TT indices, TT-reconstruct,
+        merge cached rows.
+        """
+        shapes = self.shapes
+        if self.cache_size > 0:
+            meta = self.cache_meta.value
+            if count_accesses and not self.is_initializing():
+                meta = cache_ops.update_freq(meta, indices)
+                self.cache_meta.value = meta
+            tt_idx, hit, slot = cache_ops.split_indices(meta, indices)
+            rows = tt_lookup(shapes, self.grouped, self.cores, tt_idx)
+            rows = cache_ops.cached_forward(self.cache_weight, rows, hit, slot)
+            if offsets is not None:
+                num_bags = offsets.shape[0] - 1
+                positions = jnp.arange(indices.shape[0], dtype=jnp.int32)
+                rowidx = jnp.searchsorted(offsets[1:-1].astype(jnp.int32), positions, "right")
+                rows = jax.ops.segment_sum(rows, rowidx, num_segments=num_bags)
+            return rows
+        return tt_embedding_bag(shapes, self.cores, indices, offsets,
+                                grouped=self.grouped)
+
+    def full_weight(self) -> jax.Array:
+        """Materialize the entire table (`tt_embeddings_ops.py:617`;
+        used by layer-wise inference, `gnn_model.py:228-234`)."""
+        return tt_to_full(self.shapes, self.cores)
+
+    def cache_populate(self) -> None:
+        """Top-K populate (`sage_dgl_partition.py:359-361`): refresh the id
+        table from LFU counters and materialize rows.  NOTE: mutates the
+        ``ttcache`` collection but the refreshed rows land in the
+        ``cache_weight`` *param* — call through
+        :func:`falcon_ttdforgnns_tpu.train.optim.cache_populate_apply`
+        which installs both functionally at the train-loop level."""
+        if self.cache_size <= 0:
+            raise ValueError("cache_size == 0: no cache to populate")
+        meta, weight = cache_ops.populate(self.shapes, self.cores,
+                                          self.cache_meta.value, self.cache_size)
+        self.cache_meta.value = meta
+        self.sow("ttcache_populate", "weight", weight)
+
+
+class DenseEmbedding(nn.Module):
+    """Plain dense embedding table — the no-TT baseline
+    (`nn.Embedding` path at `gnn_model.py:188-190`), with the same call
+    signature as TTEmbeddingBag."""
+
+    num_embeddings: int
+    embedding_dim: int
+
+    @nn.compact
+    def __call__(self, indices: jax.Array, offsets: Optional[jax.Array] = None,
+                 count_accesses: bool = True) -> jax.Array:
+        table = self.param("weight", nn.initializers.normal(0.1),
+                           (self.num_embeddings, self.embedding_dim))
+        rows = jnp.take(table, indices, axis=0)
+        if offsets is not None:
+            num_bags = offsets.shape[0] - 1
+            positions = jnp.arange(indices.shape[0], dtype=jnp.int32)
+            rowidx = jnp.searchsorted(offsets[1:-1].astype(jnp.int32), positions, "right")
+            rows = jax.ops.segment_sum(rows, rowidx, num_segments=num_bags)
+        return rows
+
+    def full_weight(self) -> jax.Array:
+        return self.variables["params"]["weight"]
+
+
+class AccessCountingEmbedding(nn.Module):
+    """Dense embedding that records per-row access counts — parity with
+    ``LoggingEmbedding`` (`gnn_model.py:32-47`), feeding the access-CDF
+    analytics (utils/analytics.py)."""
+
+    num_embeddings: int
+    embedding_dim: int
+
+    @nn.compact
+    def __call__(self, indices: jax.Array, offsets: Optional[jax.Array] = None,
+                 count_accesses: bool = True) -> jax.Array:
+        counts = self.variable("access_counts", "counts",
+                               lambda: jnp.zeros((self.num_embeddings,), jnp.int32))
+        if count_accesses and not self.is_initializing():
+            counts.value = counts.value.at[indices].add(1)
+        return DenseEmbedding(self.num_embeddings, self.embedding_dim,
+                              name="table")(indices, offsets)

@@ -1,0 +1,12 @@
+from .tt_shapes import TTShapes, make_tt_shapes, suggested_tt_shapes, prime_factors, factor_combinations
+from .tt_lookup import (
+    tt_digits,
+    tt_to_full,
+    tt_lookup,
+    tt_lookup_gather,
+    tt_lookup_grouped,
+    tt_embedding_bag,
+    tt_core_grads,
+    tt_materialize_rows,
+)
+from . import tt_init

@@ -1,0 +1,270 @@
+"""TT-embedding lookup: the compute core of the framework.
+
+TPU-native re-design of the reference CUDA kernels:
+
+- forward chain of batched small GEMMs over gathered core rows
+  (reference: `FBTT/tt_embeddings_cuda.cu:967-1081`) becomes gather +
+  ``jnp.einsum`` contractions that XLA maps onto the MXU;
+- the Efficient_TT *group de-duplication* forward
+  (`Efficient_TT/efficient_tt_cuda.cu:159-377`: compute the first
+  two-core partial product once per unique (i1,i2) prefix) becomes a
+  sort-based ``jnp.unique(size=B)`` + contraction over unique groups —
+  static shapes, no atomics, deterministic;
+- the unique-reduced fused backward
+  (`Efficient_TT/efficient_tt_cuda.cu:1011-1247`
+  ``Fused_Extra_Efficient_TT_backward_sgd_cuda``) becomes a
+  ``segment_sum`` of d_output over duplicate indices followed by the
+  standard TT chain-rule GEMMs and a deterministic ``.at[].add`` scatter
+  (XLA scatter-add is deterministic; the reference needed atomicAdd).
+
+All shapes are static: ``indices`` always has a fixed length B (callers
+pad with a sentinel and mask).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .tt_shapes import TTShapes
+
+Cores = Tuple[jax.Array, ...]  # core k: (p_k, r_k, q_k, r_{k+1})
+
+
+# ---------------------------------------------------------------------------
+# digit decomposition
+# ---------------------------------------------------------------------------
+
+def tt_digits(shapes: TTShapes, indices: jax.Array) -> Tuple[jax.Array, ...]:
+    """Row-major TT digits of each index: digit_k = (idx // stride_k) % p_k.
+
+    Vectorized equivalent of the per-thread decomposition in
+    `FBTT/tt_embeddings_cuda.cu:757-851` (``colidx/L[0]`` etc.).
+    """
+    idx = indices.astype(jnp.int32)
+    return tuple(
+        (idx // s) % p for s, p in zip(shapes.strides, shapes.p_shapes)
+    )
+
+
+# ---------------------------------------------------------------------------
+# full-table reconstruction (testing / layerwise inference / cache populate)
+# ---------------------------------------------------------------------------
+
+def tt_to_full(shapes: TTShapes, cores: Cores) -> jax.Array:
+    """Materialize the full (num_embeddings, embedding_dim) table.
+
+    Parity with `FBTT/tt_embeddings_ops.py:80-127` ``tt_matrix_to_full``.
+    """
+    T = shapes.ndim
+    # F: (P, Q, r) running kron-chain
+    f = cores[0].reshape(shapes.p_shapes[0], shapes.q_shapes[0], -1)
+    for k in range(1, T):
+        c = cores[k]  # (p, r, q, r')
+        f = jnp.einsum("PQr,prqs->PpQqs", f, c, preferred_element_type=jnp.float32)
+        P = f.shape[0] * f.shape[1]
+        Q = f.shape[2] * f.shape[3]
+        f = f.reshape(P, Q, -1)
+    full = f.reshape(f.shape[0], f.shape[1])
+    return full[: shapes.num_embeddings, : shapes.embedding_dim]
+
+
+def tt_materialize_rows(shapes: TTShapes, cores: Cores, indices: jax.Array) -> jax.Array:
+    """Reconstruct an arbitrary batch of rows (used by cache populate,
+    `FBTT/tt_embeddings_cuda.cu:1166-1268` ``prefetch_cached_weights``)."""
+    return tt_lookup_gather(shapes, cores, indices)
+
+
+# ---------------------------------------------------------------------------
+# forward paths
+# ---------------------------------------------------------------------------
+
+def _chain(shapes: TTShapes, cores: Cores, digits: Sequence[jax.Array],
+           start: int, stop: int) -> jax.Array:
+    """Contract cores[start:stop] gathered at the given digits.
+
+    Returns (B, prod(q_{start..stop-1}), r_stop) with leading rank folded in
+    (r_start must be 1 when start == 0).
+    """
+    g = jnp.take(cores[start], digits[start], axis=0)  # (B, r, q, r')
+    B = g.shape[0]
+    g = g.reshape(B, g.shape[1] * g.shape[2], g.shape[3])
+    for k in range(start + 1, stop):
+        c = jnp.take(cores[k], digits[k], axis=0)  # (B, r, q, r')
+        c = c.reshape(B, c.shape[1], c.shape[2] * c.shape[3])
+        g = jnp.einsum("bdr,brm->bdm", g, c, preferred_element_type=jnp.float32)
+        g = g.reshape(B, -1, cores[k].shape[3])
+    return g
+
+
+def tt_lookup_gather(shapes: TTShapes, cores: Cores, indices: jax.Array) -> jax.Array:
+    """Plain FBTT-style forward: gather rows of each core, contract the chain.
+
+    Reference semantics: `FBTT/tt_embeddings_cuda.cu:967-1081`.
+    """
+    digits = tt_digits(shapes, indices)
+    g = _chain(shapes, cores, digits, 0, shapes.ndim)
+    return g.reshape(indices.shape[0], shapes.embedding_dim)
+
+
+def tt_lookup_grouped(shapes: TTShapes, cores: Cores, indices: jax.Array) -> jax.Array:
+    """Efficient_TT-style forward with group de-duplication.
+
+    group = idx // p_last identifies the shared prefix (i_0..i_{T-2}); the
+    prefix partial product is computed once per *unique* group in the batch
+    and broadcast back (`Efficient_TT/efficient_tt_cuda.cu:159-241`).
+    Static shapes: unique is padded to B.
+    """
+    idx = indices.astype(jnp.int32)
+    B = idx.shape[0]
+    group = idx // shapes.p_last
+    last = idx % shapes.p_last
+
+    ugroups, inv = jnp.unique(group, size=B, fill_value=0, return_inverse=True)
+    # prefix partial for each unique group: (B, q0*..*q_{T-2}, r_{T-1})
+    udigits = tuple(
+        (ugroups // (s // shapes.p_last)) % p
+        for s, p in zip(shapes.strides[:-1], shapes.p_shapes[:-1])
+    )
+    prefix = _chain(shapes, cores, udigits, 0, shapes.ndim - 1)
+    prefix = jnp.take(prefix, inv, axis=0)  # broadcast back to batch
+
+    tail = jnp.take(cores[-1], last, axis=0)  # (B, r, q, 1)
+    tail = tail.reshape(B, tail.shape[1], -1)
+    out = jnp.einsum("bdr,brq->bdq", prefix, tail, preferred_element_type=jnp.float32)
+    return out.reshape(B, shapes.embedding_dim)
+
+
+# ---------------------------------------------------------------------------
+# backward (chain rule partials)
+# ---------------------------------------------------------------------------
+
+def _partials(shapes: TTShapes, cores: Cores, digits: Sequence[jax.Array]):
+    """Left/right partial chains for every core position.
+
+    left[k]:  (B, L_k, r_k)   contraction of cores 0..k-1   (L_0 = 1)
+    right[k]: (B, r_{k+1}, R_k) contraction of cores k+1..T-1 (R_{T-1} = 1)
+    """
+    T = shapes.ndim
+    B = digits[0].shape[0]
+    fr = shapes.full_ranks
+
+    lefts: List[jax.Array] = [jnp.ones((B, 1, 1), dtype=cores[0].dtype)]
+    for k in range(1, T):
+        g = _chain(shapes, cores, digits, 0, k)  # (B, L_k, r_k)
+        lefts.append(g)
+
+    rights: List[jax.Array] = [None] * T  # type: ignore
+    rights[T - 1] = jnp.ones((B, 1, 1), dtype=cores[0].dtype)
+    for k in range(T - 2, -1, -1):
+        g = _chain(shapes, cores, digits, k + 1, T)  # (B, R_k_rows?, ...)
+        # _chain returns (B, prod(q_{k+1..}), r_T=1) with r_{k+1} folded into dim 1.
+        # Re-split: (B, r_{k+1}, prod q tail)
+        g = g.reshape(B, fr[k + 1], -1)
+        rights[k] = g
+    return lefts, rights
+
+
+def tt_core_grads(shapes: TTShapes, cores: Cores, indices: jax.Array,
+                  d_out: jax.Array, dedup: bool = True) -> Tuple[jax.Array, ...]:
+    """Dense per-core gradients of a TT lookup.
+
+    With ``dedup=True``, d_out is first segment-summed over duplicate
+    indices (the reference's ``Fused_Extra`` unique-gradient reduction,
+    `Efficient_TT/efficient_tt_cuda.cu:970-987`), then the standard two
+    transposed GEMMs per core (`FBTT/tt_embeddings_cuda.cu:421-654`) are
+    applied on unique indices and scatter-added deterministically.
+    """
+    idx = indices.astype(jnp.int32)
+    B = idx.shape[0]
+
+    if dedup:
+        uidx, inv = jnp.unique(idx, size=B, fill_value=0, return_inverse=True)
+        d_red = jax.ops.segment_sum(d_out, inv, num_segments=B)
+        # padded unique slots receive zero gradient; scatters of zeros are no-ops
+        idx, d_out = uidx, d_red
+
+    digits = tt_digits(shapes, idx)
+    lefts, rights = _partials(shapes, cores, digits)
+    T = shapes.ndim
+    fr = shapes.full_ranks
+
+    grads = []
+    for k in range(T):
+        Lk = lefts[k].shape[1]
+        Rk = rights[k].shape[2]
+        qk = shapes.q_shapes[k]
+        d = d_out.reshape(B, Lk, qk, Rk)
+        # d_core[b, r, q, s] = sum_{l,R} left[b,l,r] d[b,l,q,R] right[b,s,R]
+        t = jnp.einsum("blr,blqR->brqR", lefts[k], d, preferred_element_type=jnp.float32)
+        t = jnp.einsum("brqR,bsR->brqs", t, rights[k], preferred_element_type=jnp.float32)
+        g = jnp.zeros((shapes.p_shapes[k], fr[k], qk, fr[k + 1]), dtype=t.dtype)
+        g = g.at[digits[k]].add(t)
+        grads.append(g)
+    return tuple(grads)
+
+
+# ---------------------------------------------------------------------------
+# differentiable lookup (custom VJP)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def tt_lookup(shapes: TTShapes, grouped: bool, cores: Cores, indices: jax.Array) -> jax.Array:
+    """Differentiable TT row lookup: (B,) int32 -> (B, D).
+
+    ``grouped=True`` uses the Efficient_TT group-dedup forward. The custom
+    VJP implements the unique-reduced backward; ``indices`` gets no gradient.
+    """
+    if grouped:
+        return tt_lookup_grouped(shapes, cores, indices)
+    return tt_lookup_gather(shapes, cores, indices)
+
+
+def _tt_lookup_fwd(shapes, grouped, cores, indices):
+    out = tt_lookup(shapes, grouped, cores, indices)
+    return out, (cores, indices)
+
+
+def _tt_lookup_bwd(shapes, grouped, res, d_out):
+    cores, indices = res
+    grads = tt_core_grads(shapes, cores, indices, d_out, dedup=True)
+    return grads, None
+
+
+tt_lookup.defvjp(_tt_lookup_fwd, _tt_lookup_bwd)
+
+
+# ---------------------------------------------------------------------------
+# EmbeddingBag pooling
+# ---------------------------------------------------------------------------
+
+def tt_embedding_bag(
+    shapes: TTShapes,
+    cores: Cores,
+    indices: jax.Array,
+    offsets: Optional[jax.Array] = None,
+    num_bags: Optional[int] = None,
+    grouped: bool = True,
+) -> jax.Array:
+    """EmbeddingBag-style sum pooling over CSR ``offsets`` segments.
+
+    Preserves the reference's bag contract
+    (`FBTT/tt_embeddings_cuda.cu:923-965` ``reduce_output_kernel``) while
+    optimizing the unary case (offsets == arange(B+1), the only case the GNN
+    drivers use — `gnn_model.py:199`): pass ``offsets=None`` for a pure
+    lookup with no pooling reduction.
+    """
+    rows = tt_lookup(shapes, grouped, cores, indices)
+    if offsets is None:
+        return rows
+    if num_bags is None:
+        num_bags = offsets.shape[0] - 1
+    # rowidx[j] = bag of element j  (vectorized `compute_rowidx_kernel`,
+    # `FBTT/tt_embeddings_cuda.cu:1349-1365`)
+    nnz = indices.shape[0]
+    positions = jnp.arange(nnz, dtype=jnp.int32)
+    rowidx = jnp.searchsorted(offsets[1:-1].astype(jnp.int32), positions, side="right")
+    return jax.ops.segment_sum(rows, rowidx, num_segments=num_bags)

@@ -1,0 +1,153 @@
+"""Optimizer wiring for TT-GNN training.
+
+Functional re-design of the reference's split optimizer scheme
+(`sage_dgl_partition.py:100-107`, `FBTT/tt_embeddings_ops.py:214-366`):
+the reference mixes an outer Adam over model+cores with optional *fused*
+in-kernel sparse SGD / row-wise adagrad applied to TT cores and cache rows
+inside autograd (grads returned as None).  Here every gradient flows
+functionally and ``optax.multi_transform`` routes parameter groups:
+
+  - GNN weights             -> Adam (+ ReduceLROnPlateau scaling)
+  - TT cores                -> Adam (default) or plain SGD ("sparse mode",
+                               the EXACT_SGD semantics — deterministic
+                               unique-reduced grads come from the lookup VJP)
+  - cache rows (cache_weight) -> SGD or row-wise adagrad
+                               (`cache_backward_*`, `cu:1585-1846`)
+
+The reference's double-lr application bug (Adam over cores *and* fused
+kernel SGD, SURVEY.md §7 watch-items) is intentionally not replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+
+def _label_params(params: Any) -> Any:
+    """Label tree: 'cache' for cache_weight leaves, 'tt' for TT cores,
+    'model' for everything else."""
+
+    def label(path, _leaf):
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if any("cache_weight" == n for n in names):
+            return "cache"
+        if any(str(n).startswith("tt_core_") for n in names):
+            return "tt"
+        return "model"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def rowwise_adagrad(lr: float, eps: float = 1e-8) -> optax.GradientTransformation:
+    """Row-wise adagrad over (K, D) leaves: one accumulator per row —
+    semantics of ``cache_backward_rowwise_adagrad_approx``
+    (`FBTT/tt_embeddings_cuda.cu:1746-1846`)."""
+
+    def init(params):
+        return jax.tree.map(
+            lambda p: jnp.zeros(p.shape[:1], p.dtype) if getattr(p, "ndim", 0) == 2
+            else jnp.zeros(()), params)
+
+    def update(grads, state, params=None):
+        def new_acc(g, acc):
+            if getattr(g, "ndim", 0) != 2:
+                return acc
+            return acc + jnp.mean(g * g, axis=1)
+
+        def upd(g, acc):
+            if getattr(g, "ndim", 0) != 2:
+                return -lr * g
+            return -(lr * jax.lax.rsqrt(acc + eps))[:, None] * g
+
+        next_state = jax.tree.map(new_acc, grads, state)
+        updates = jax.tree.map(upd, grads, next_state)
+        return updates, next_state
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(
+    lr: float = 0.003,
+    weight_decay: float = 0.0,
+    tt_optimizer: str = "adam",      # adam | sgd (EXACT_SGD semantics)
+    tt_lr: Optional[float] = None,
+    cache_optimizer: str = "rowwise_adagrad",  # sgd | rowwise_adagrad | adam
+    cache_lr: Optional[float] = None,
+    plateau: bool = True,
+    plateau_patience: int = 800,
+    plateau_factor: float = 0.5,
+    grad_clip: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """Build the routed optimizer.  ``plateau`` reproduces the reference's
+    per-step ``ReduceLROnPlateau(patience=800)`` on training loss
+    (`sage_dgl_partition.py:107,319`) via ``optax.contrib.reduce_on_plateau``
+    — callers must pass ``value=loss`` as an update kwarg."""
+    tt_lr = tt_lr if tt_lr is not None else lr
+    cache_lr = cache_lr if cache_lr is not None else lr
+
+    def adam(rate):
+        if weight_decay > 0:
+            return optax.adamw(rate, weight_decay=weight_decay)
+        return optax.adam(rate)
+
+    tt_tx = adam(tt_lr) if tt_optimizer == "adam" else optax.sgd(tt_lr)
+    if cache_optimizer == "sgd":
+        cache_tx = optax.sgd(cache_lr)
+    elif cache_optimizer == "adam":
+        cache_tx = adam(cache_lr)
+    else:
+        cache_tx = rowwise_adagrad(cache_lr)
+
+    tx = optax.multi_transform(
+        {"model": adam(lr), "tt": tt_tx, "cache": cache_tx},
+        _label_params,
+    )
+    chain = []
+    if grad_clip is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(tx)
+    if plateau:
+        chain.append(optax.contrib.reduce_on_plateau(
+            patience=plateau_patience, factor=plateau_factor,
+            accumulation_size=1))
+    return optax.chain(*chain)
+
+
+def cache_populate_apply(model, variables: dict) -> dict:
+    """Functionally run the warmup->populate transition
+    (`sage_dgl_partition.py:350-361` lifecycle): returns new ``variables``
+    with refreshed ``ttcache`` metadata and the materialized rows installed
+    into the ``cache_weight`` param.
+
+    ``model`` is the flax module (SAGE or anything exposing
+    ``embed_layer.cache_populate`` through ``apply``).
+    """
+    _, mutated = model.apply(
+        variables,
+        method=lambda m: m.embed_layer.cache_populate(),
+        mutable=["ttcache", "ttcache_populate"],
+    )
+    new_vars = dict(variables)
+    new_vars["ttcache"] = mutated["ttcache"]
+    # install materialized rows into the param pytree
+    weight = jax.tree.leaves(mutated["ttcache_populate"])[0]
+    if isinstance(weight, (tuple, list)):
+        weight = weight[0]
+    params = flatten_replace_cache_weight(variables["params"], weight)
+    new_vars["params"] = params
+    return new_vars
+
+
+def flatten_replace_cache_weight(params, new_weight):
+    def replace(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if any("cache_weight" == n for n in names):
+            return new_weight
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(replace, params)

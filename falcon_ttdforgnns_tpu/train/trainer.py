@@ -1,0 +1,233 @@
+"""Sampled-minibatch GraphSAGE training driver.
+
+Re-design of the reference's single-device driver
+(`sage_dgl_partition.py:257-423` ``run_single`` + ``train``): host-side
+neighbor sampler feeds static-shape batches into one jitted train step;
+the LFU cache follows the warmup -> populate -> cached-serving lifecycle
+(`sage_dgl_partition.py:350-361`); evaluation is layer-wise full-neighbor
+inference (`gnn_model.py:220-253`).  Data parallelism is a sharding
+annotation, not a code path (parallel/data_parallel.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..graph.csr import NodeDataset
+from ..graph.sampler import NeighborLoader, full_neighbor_chunks
+from ..models.sage import SAGE
+from .optim import make_optimizer, cache_populate_apply
+
+
+@dataclass
+class TrainConfig:
+    """Mirrors the reference flag system (`tt_utils.py:17-85`); see
+    utils/config.py for the CLI mapping."""
+
+    batch_size: int = 1024
+    fanouts: Tuple[int, ...] = (5, 10, 15)
+    epochs: int = 2
+    lr: float = 0.003
+    dropout: float = 0.5
+    hidden_dim: int = 256
+    num_layers: int = 3
+    use_tt: bool = True
+    tt_ranks: Tuple[int, ...] = (16, 16)
+    p_shapes: Optional[Tuple[int, ...]] = None
+    q_shapes: Optional[Tuple[int, ...]] = None
+    weight_dist: str = "approx-normal"
+    cache_size: int = 0
+    tt_optimizer: str = "adam"
+    plateau_patience: int = 800
+    eval_every: int = 1
+    log_every: int = 20
+    seed: int = 0
+    inference_chunk: int = 65536
+    edge_chunk: int = 1 << 22
+
+
+class SageTrainer:
+    def __init__(self, dataset: NodeDataset, config: TrainConfig,
+                 logger=None, precomputed_cores=None):
+        self.ds = dataset
+        self.cfg = config
+        self.logger = logger
+        cfg = config
+        self.model = SAGE(
+            num_nodes=dataset.num_nodes,
+            in_dim=dataset.feat_dim,
+            hidden_dim=cfg.hidden_dim,
+            num_classes=dataset.num_classes,
+            num_layers=cfg.num_layers,
+            dropout=cfg.dropout,
+            use_tt=cfg.use_tt,
+            tt_ranks=cfg.tt_ranks,
+            p_shapes=cfg.p_shapes,
+            q_shapes=cfg.q_shapes,
+            weight_dist=cfg.weight_dist,
+            cache_size=cfg.cache_size,
+            precomputed_cores=precomputed_cores,
+        )
+        self.tx = make_optimizer(
+            lr=cfg.lr, tt_optimizer=cfg.tt_optimizer,
+            plateau_patience=cfg.plateau_patience)
+        self.loader = NeighborLoader(
+            dataset.graph, dataset.train_idx, dataset.labels,
+            cfg.fanouts, cfg.batch_size, seed=cfg.seed)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        dummy = self._dummy_batch()
+        self.variables = self.model.init(
+            {"params": rng, "dropout": rng}, dummy[0], dummy[1], train=False)
+        params = self.variables["params"]
+        self.opt_state = self.tx.init(params)
+        self._step_fn = self._build_step()
+        self._metrics: Dict[str, List[float]] = {"loss": [], "throughput": []}
+        self.step = 0
+
+    def _dummy_batch(self):
+        B = self.cfg.batch_size
+        seeds = jnp.zeros((B,), jnp.int32)
+        layers, f = [], 1
+        for fo in reversed(self.cfg.fanouts):
+            f *= fo
+            layers.append(jnp.zeros((B, f), jnp.int32))
+        return seeds, layers
+
+    def _build_step(self):
+        model, tx = self.model, self.tx
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(variables, opt_state, seeds, layers, labels, rng):
+            params = variables["params"]
+            aux_cols = {k: v for k, v in variables.items() if k != "params"}
+
+            def loss_fn(p):
+                out, mutated = model.apply(
+                    {"params": p, **aux_cols}, seeds, layers, train=True,
+                    rngs={"dropout": rng},
+                    mutable=["ttcache", "batch_stats", "access_counts"])
+                logits = out
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels).mean()
+                return loss, (logits, mutated)
+
+            (loss, (logits, mutated)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt_state = tx.update(grads, opt_state, params, value=loss)
+            new_params = optax.apply_updates(params, updates)
+            acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+            new_vars = {"params": new_params, **{**aux_cols, **mutated}}
+            return new_vars, new_opt_state, loss, acc
+
+        return train_step
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed + 1000 + epoch)
+        t_epoch = time.perf_counter()
+        losses, accs = [], []  # device scalars; converted once at epoch end
+        n_seen = 0
+        t0 = time.perf_counter()
+        for it, batch in enumerate(self.loader):
+            rng, sub = jax.random.split(rng)
+            seeds = jnp.asarray(batch.seeds)
+            layers = [jnp.asarray(l) for l in batch.layers]
+            labels = jnp.asarray(batch.labels)
+            self.variables, self.opt_state, loss, acc = self._step_fn(
+                self.variables, self.opt_state, seeds, layers, labels, sub)
+            self.step += 1
+            n_seen += cfg.batch_size
+            losses.append(loss); accs.append(acc)
+            if (it + 1) % cfg.log_every == 0:
+                jax.block_until_ready(loss)
+                dt = time.perf_counter() - t0
+                tput = cfg.log_every * cfg.batch_size / dt
+                self._metrics["loss"].append(float(loss))
+                self._metrics["throughput"].append(tput)
+                if self.logger:
+                    self.logger.info(
+                        f"epoch {epoch} step {it + 1} loss {float(loss):.4f} "
+                        f"acc {float(acc):.4f} {tput:.0f} samples/s")
+                t0 = time.perf_counter()
+        losses = [float(l) for l in losses]
+        accs = [float(a) for a in accs]
+        epoch_time = time.perf_counter() - t_epoch
+        return {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "train_acc": float(np.mean(accs)) if accs else float("nan"),
+            "epoch_time": epoch_time,
+            "samples_per_s": n_seen / epoch_time,
+        }
+
+    def maybe_populate_cache(self):
+        """After warmup epoch(s): build the hot-row cache
+        (`sage_dgl_partition.py:350-361`)."""
+        if self.cfg.use_tt and self.cfg.cache_size > 0:
+            self.variables = cache_populate_apply(self.model, self.variables)
+
+    # ------------------------------------------------------------------
+    def infer_full(self) -> np.ndarray:
+        """Layer-wise full-neighbor inference over all nodes
+        (`gnn_model.py:220-253`): materialize features chunk-wise via TT,
+        then propagate each conv layer over the full COO edge list."""
+        ds, cfg = self.ds, self.cfg
+        n = ds.num_nodes
+        src, dst = ds.graph.to_coo()
+        src_d, dst_d = jnp.asarray(src), jnp.asarray(dst)
+        in_deg = jnp.asarray(ds.graph.degrees.astype(np.float32))
+
+        mat = jax.jit(lambda v, ids: self.model.apply(
+            v, ids, method=SAGE.materialize_features))
+        chunks = [
+            np.asarray(mat(self.variables, jnp.asarray(ids)))
+            for ids in full_neighbor_chunks(n, cfg.inference_chunk)
+        ]
+        h = jnp.asarray(np.concatenate(chunks, axis=0)[:n])
+
+        fwd = jax.jit(
+            lambda v, h, li: self.model.apply(
+                v, h, src_d, dst_d, in_deg, n, li,
+                chunk=cfg.edge_chunk, method=SAGE.forward_full),
+            static_argnums=(2,))
+        for li in range(cfg.num_layers):
+            h = fwd(self.variables, h, li)
+        return np.asarray(h)
+
+    def evaluate(self) -> Dict[str, float]:
+        logits = self.infer_full()
+        pred = logits.argmax(-1)
+        out = {}
+        for split, idx in [("train", self.ds.train_idx), ("val", self.ds.val_idx),
+                           ("test", self.ds.test_idx)]:
+            out[f"{split}_acc"] = float((pred[idx] == self.ds.labels[idx]).mean())
+        return out
+
+    # ------------------------------------------------------------------
+    def fit(self, epochs: Optional[int] = None) -> Dict[str, Any]:
+        cfg = self.cfg
+        epochs = epochs or cfg.epochs
+        best = {"val_acc": 0.0, "test_acc": 0.0}
+        history = []
+        for epoch in range(epochs):
+            stats = self.train_epoch(epoch)
+            if epoch == 0:
+                self.maybe_populate_cache()
+            if (epoch + 1) % cfg.eval_every == 0 or epoch == epochs - 1:
+                stats.update(self.evaluate())
+                if stats.get("val_acc", 0) >= best["val_acc"]:
+                    best = {"val_acc": stats["val_acc"],
+                            "test_acc": stats["test_acc"], "epoch": epoch}
+            history.append(stats)
+            if self.logger:
+                self.logger.info(f"epoch {epoch}: {stats}")
+        return {"history": history, "best": best, "metrics": self._metrics}

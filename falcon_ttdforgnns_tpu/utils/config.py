@@ -1,0 +1,125 @@
+"""The flag system — parity with the reference's single shared
+``parse_args`` (`tt_utils.py:17-85`), which every driver consumes.
+Defaults mirror the reference (batch 1024, fan-out 5,10,15, tt-rank 16,16,
+p-shapes 125,140,140, q-shapes 5,5,4, hidden 256, 3 layers).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional
+
+
+def _int_list(s: str) -> List[int]:
+    return [int(x) for x in s.split(",") if x != ""]
+
+
+def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="TPU-native TT-embedding GNN training")
+
+    # general (tt_utils.py:19-43)
+    g = p.add_argument_group("general")
+    g.add_argument("--device", type=str, default="tpu", help="tpu | cpu")
+    g.add_argument("--model", type=str, default="sage", choices=["sage", "gcn", "gat"])
+    g.add_argument("--dataset", type=str, default="ogbn-products")
+    g.add_argument("--epochs", type=int, default=2)
+    g.add_argument("--lr", type=float, default=0.003)
+    g.add_argument("--dropout", type=float, default=0.5)
+    g.add_argument("--wd", type=float, default=0.0, help="weight decay")
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--n-runs", type=int, default=1)
+
+    # dataloader (tt_utils.py:44-53)
+    d = p.add_argument_group("dataloader")
+    d.add_argument("--batch", type=int, default=1024)
+    d.add_argument("--fan-out", type=_int_list, default=[5, 10, 15])
+    d.add_argument("--use-sample", action="store_true", default=True)
+    d.add_argument("--full-neighbor", dest="use_sample", action="store_false",
+                   help="full-neighbor training instead of sampling")
+    d.add_argument("--num-workers", type=int, default=4)
+    d.add_argument("--mode", type=str, default="mixed", choices=["mixed", "puregpu"],
+                   help="mixed: graph in host RAM, batches on device "
+                        "(the reference's UVA analog); puregpu: graph on device")
+    d.add_argument("--synthetic-scale", type=float, default=1.0,
+                   help="shrink factor for synthetic fallback datasets")
+
+    # distributed
+    dist = p.add_argument_group("distributed")
+    dist.add_argument("--dist", action="store_true", help="data-parallel over the device mesh")
+    dist.add_argument("--num-chips", type=int, default=-1,
+                      help="#devices for the data axis (-1 = all)")
+
+    # GNN (tt_utils.py:44-48)
+    n = p.add_argument_group("gnn")
+    n.add_argument("--num-hidden", type=int, default=256)
+    n.add_argument("--num-layers", type=int, default=3)
+    n.add_argument("--num-heads", type=int, default=3)
+    n.add_argument("--use-linear", action="store_true")
+    n.add_argument("--use-labels", action="store_true",
+                   help="label-as-feature trick (gcn_gat_partition.py:71-76)")
+
+    # TT embedding (tt_utils.py:49-66)
+    t = p.add_argument_group("tt")
+    t.add_argument("--use-tt", action="store_true", default=True)
+    t.add_argument("--no-tt", dest="use_tt", action="store_false")
+    t.add_argument("--tt-rank", type=_int_list, default=[16, 16])
+    t.add_argument("--p-shapes", type=_int_list, default=None)
+    t.add_argument("--q-shapes", type=_int_list, default=None)
+    t.add_argument("--init", type=str, default="approx-normal",
+                   choices=["normal", "uniform", "naive-uniform", "approx-normal",
+                            "approx-uniform", "ortho", "eigen", "dortho"])
+    t.add_argument("--partition", type=int, default=0,
+                   help=">0 k-way partition reorder; 0 random; -1 recursive "
+                        "multilevel (TT-shape matched); -2 RCMK; -3 degree; "
+                        "-4 louvain (graphloader.py:399-454 semantics)")
+    t.add_argument("--emb-name", type=str, default="tt")
+    t.add_argument("--sparse", action="store_true",
+                   help="EXACT_SGD-style TT-core updates (SGD instead of Adam)")
+    t.add_argument("--batch-count", type=int, default=65536,
+                   help="lookup chunk size (VMEM budget knob, cu:1027 analog)")
+
+    # cache (tt_utils.py:60-63)
+    c = p.add_argument_group("cache")
+    c.add_argument("--use-cached", action="store_true")
+    c.add_argument("--cache-size", type=int, default=0)
+    c.add_argument("--access-counts", action="store_true")
+
+    # logging / eval (tt_utils.py:67-85)
+    e = p.add_argument_group("extras")
+    e.add_argument("--log-every", type=int, default=20)
+    e.add_argument("--eval-every", type=int, default=1)
+    e.add_argument("--skip-eval", action="store_true")
+    e.add_argument("--save-model", action="store_true")
+    e.add_argument("--save-pred", action="store_true")
+    e.add_argument("--store-emb", action="store_true")
+    e.add_argument("--ckpt-dir", type=str, default="./checkpoints")
+    e.add_argument("--log-dir", type=str, default="./logs")
+    e.add_argument("--plot", action="store_true")
+    e.add_argument("--run-one", action="store_true", help="one fwd/bwd step then exit")
+    e.add_argument("--profile", action="store_true", help="jax.profiler trace")
+    e.add_argument("--profile-dir", type=str, default="./profiles")
+
+    # autotuning (tuning_SAGE.py parity)
+    a = p.add_argument_group("autotune")
+    a.add_argument("--autotune", action="store_true")
+    a.add_argument("--tune-budget", type=int, default=20)
+
+    return p.parse_args(argv)
+
+
+# Dataset presets (run_script.sh:135-150, 408-453 shape/rank configs)
+DATASET_PRESETS = {
+    "ogbn-arxiv": dict(p_shapes=[50, 60, 60], q_shapes=[8, 4, 4]),
+    "ogbn-products": dict(p_shapes=[125, 140, 140], q_shapes=[4, 5, 5]),
+    "ogbn-papers100M": dict(p_shapes=[400, 500, 600], q_shapes=[4, 4, 8]),
+}
+
+
+def apply_preset(args: argparse.Namespace) -> argparse.Namespace:
+    preset = DATASET_PRESETS.get(args.dataset)
+    if preset:
+        if args.p_shapes is None:
+            args.p_shapes = preset["p_shapes"]
+        if args.q_shapes is None:
+            args.q_shapes = preset["q_shapes"]
+    return args

@@ -1,0 +1,113 @@
+"""Graph layer tests: CSR construction, sampling, reordering."""
+
+import numpy as np
+import pytest
+
+from falcon_ttdforgnns_tpu.graph import (
+    CSRGraph, synthetic_dataset, rmat_edges,
+    NeighborLoader, sample_block, pad_csr_rows,
+    reorder_permutation, partition_graph, rcmk_reorder, degree_reorder,
+)
+
+
+def small_graph(seed=0, n=200, deg=5):
+    src, dst = rmat_edges(n, n * deg, seed=seed)
+    return CSRGraph.from_edges(src, dst, n, add_reverse=True)
+
+
+class TestCSR:
+    def test_from_edges_reverse(self):
+        g = CSRGraph.from_edges(np.array([0, 1]), np.array([1, 2]), 3, add_reverse=True)
+        assert g.num_edges == 4
+        # in-neighbors of node 1 are {0, 2}
+        assert sorted(g.indices[g.indptr[1]:g.indptr[2]].tolist()) == [0, 2]
+
+    def test_coo_roundtrip(self):
+        g = small_graph()
+        src, dst = g.to_coo()
+        g2 = CSRGraph.from_edges(src, dst, g.num_nodes, add_reverse=False)
+        np.testing.assert_array_equal(g.indptr, g2.indptr)
+        np.testing.assert_array_equal(np.sort(g.indices), np.sort(g2.indices))
+
+    def test_permute_preserves_structure(self):
+        g = small_graph()
+        perm = np.random.default_rng(0).permutation(g.num_nodes)
+        g2 = g.permute(perm)
+        assert g2.num_edges == g.num_edges
+        # degree of node u in g == degree of perm[u] in g2
+        np.testing.assert_array_equal(g.degrees, g2.degrees[perm])
+
+    def test_dataset_permute(self):
+        ds = synthetic_dataset(num_nodes=500, avg_degree=4, seed=1)
+        perm = np.random.default_rng(1).permutation(ds.num_nodes)
+        ds2 = ds.permute(perm)
+        # labels travel with nodes
+        np.testing.assert_array_equal(ds2.labels[perm], ds.labels)
+        # splits stay disjoint and same size
+        assert len(ds2.train_idx) == len(ds.train_idx)
+        assert not (set(ds2.train_idx) & set(ds2.val_idx))
+
+
+class TestSampler:
+    def test_static_shapes(self):
+        g = small_graph()
+        seeds = np.arange(16)
+        batch = sample_block(g, seeds, (3, 4), np.random.default_rng(0))
+        assert batch.layers[0].shape == (16, 4)   # outermost fanout first sampled
+        assert batch.layers[1].shape == (16, 12)
+        assert batch.all_nodes.shape == (16 * (1 + 4 + 12),)
+
+    def test_sampled_are_neighbors(self):
+        g = small_graph()
+        seeds = np.arange(32)
+        batch = sample_block(g, seeds, (4,), np.random.default_rng(0))
+        for i, s in enumerate(seeds):
+            nbrs = set(g.indices[g.indptr[s]:g.indptr[s + 1]].tolist()) | {s}
+            assert set(batch.layers[0][i].tolist()) <= nbrs
+
+    def test_loader_batches(self):
+        ds = synthetic_dataset(num_nodes=300, avg_degree=4, seed=2)
+        loader = NeighborLoader(ds.graph, ds.train_idx, ds.labels, (3, 3), 64)
+        batches = list(loader)
+        assert len(batches) == len(ds.train_idx) // 64
+        for b in batches:
+            assert b.seeds.shape == (64,)
+            assert b.labels.shape == (64,)
+
+    def test_pad_csr_rows(self):
+        g = small_graph()
+        nodes = np.arange(50)
+        nbrs, mask = pad_csr_rows(g, nodes, max_degree=int(g.degrees.max()))
+        for i, u in enumerate(nodes):
+            expect = sorted(g.indices[g.indptr[u]:g.indptr[u + 1]].tolist())
+            got = sorted(nbrs[i][mask[i]].tolist())
+            assert got == expect
+
+
+class TestReorder:
+    @pytest.mark.parametrize("partition", [4, 0, -1, -2, -3])
+    def test_perm_valid(self, partition):
+        g = small_graph()
+        perm = reorder_permutation(g, partition, levels=[4, 4])
+        assert perm is not None
+        assert sorted(perm.tolist()) == list(range(g.num_nodes))
+
+    def test_partition_balance(self):
+        g = small_graph(n=400, deg=6)
+        part = partition_graph(g, 4, seed=0)
+        sizes = np.bincount(part, minlength=4)
+        assert sizes.min() > 0
+        assert sizes.max() <= 2.5 * g.num_nodes / 4
+
+    def test_partition_locality(self):
+        """A partition reorder should cut fewer edges than random."""
+        g = small_graph(n=400, deg=6)
+        src, dst = g.to_coo()
+
+        def crossing(perm, k=4):
+            b = lambda x: perm[x] * k // g.num_nodes
+            return (b(src) != b(dst)).mean()
+
+        p_part = reorder_permutation(g, 4)
+        p_rand = reorder_permutation(g, 0)
+        assert crossing(p_part) <= crossing(p_rand) + 0.05
