@@ -1,0 +1,178 @@
+"""Unified CLI driver.
+
+Replaces the reference's three entry scripts (`sage_dgl_partition.py`,
+`gcn_gat_partition.py`, `tuning_SAGE.py`) behind one flag-compatible
+command:
+
+    python -m falcon_ttdforgnns_tpu.cli --model sage --dataset ogbn-products \
+        --use-tt --tt-rank 16,16 --partition 128 --batch 1024 --fan-out 5,10,15
+
+Dispatch: sampled SAGE training (--model sage), full-graph GCN/GAT
+(--model gcn|gat), --autotune wraps either in the TT-rank tuner,
+--run-one executes a single fwd/bwd step (profiling parity,
+`sage_profiler.py:715-787`).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def main(argv=None):
+    from .utils.config import parse_args, apply_preset
+    from .utils.logger import get_logger
+
+    args = apply_preset(parse_args(argv))
+    logger = get_logger("falcon_tpu", args.log_dir)
+
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from .graph import get_dataset, reorder_permutation
+    from .train import (SageTrainer, TrainConfig, FullGraphTrainer,
+                        FullGraphConfig)
+    from .train.checkpoint import save_checkpoint
+    from .utils import metrics as M
+
+    t0 = time.time()
+    ds = get_dataset(args.dataset, synthetic_scale=args.synthetic_scale,
+                     seed=args.seed)
+    logger.info(f"dataset {ds.name}: {ds.num_nodes} nodes, "
+                f"{ds.graph.num_edges} edges ({time.time() - t0:.1f}s)")
+
+    if args.partition != 0 or args.partition == 0 and False:
+        t0 = time.time()
+        perm = reorder_permutation(ds.graph, args.partition,
+                                   levels=args.p_shapes, seed=args.seed)
+        if perm is not None:
+            ds = ds.permute(perm)
+            logger.info(f"reorder partition={args.partition}: {time.time() - t0:.1f}s")
+
+    precomputed = _maybe_init_cores(args, ds, logger)
+
+    def run_once(tt_ranks):
+        if args.model == "sage":
+            cfg = TrainConfig(
+                batch_size=args.batch, fanouts=tuple(args.fan_out),
+                epochs=args.epochs, lr=args.lr, dropout=args.dropout,
+                hidden_dim=args.num_hidden, num_layers=args.num_layers,
+                use_tt=args.use_tt, tt_ranks=tuple(tt_ranks),
+                p_shapes=tuple(args.p_shapes) if args.p_shapes else None,
+                q_shapes=tuple(args.q_shapes) if args.q_shapes else None,
+                weight_dist=args.init if args.init in (
+                    "normal", "uniform", "naive-uniform", "approx-normal",
+                    "approx-uniform") else "approx-normal",
+                cache_size=args.cache_size if args.use_cached else 0,
+                tt_optimizer="sgd" if args.sparse else "adam",
+                eval_every=args.eval_every, log_every=args.log_every,
+                seed=args.seed)
+            trainer = SageTrainer(ds, cfg, logger=logger,
+                                  precomputed_cores=precomputed)
+        else:
+            cfg = FullGraphConfig(
+                model=args.model, epochs=args.epochs, lr=args.lr,
+                weight_decay=args.wd, dropout=args.dropout,
+                hidden_dim=args.num_hidden, num_layers=args.num_layers,
+                num_heads=args.num_heads, use_linear=args.use_linear,
+                use_labels=args.use_labels, use_tt=args.use_tt,
+                tt_ranks=tuple(tt_ranks),
+                p_shapes=tuple(args.p_shapes) if args.p_shapes else None,
+                q_shapes=tuple(args.q_shapes) if args.q_shapes else None,
+                eval_every=args.eval_every, seed=args.seed)
+            trainer = FullGraphTrainer(ds, cfg, logger=logger,
+                                       precomputed_cores=precomputed)
+
+        if args.run_one:
+            stats = trainer.train_epoch(0) if args.model != "sage" else None
+            if args.model == "sage":
+                batch = next(iter(trainer.loader))
+                import jax, jax.numpy as jnp
+                rng = jax.random.PRNGKey(0)
+                t1 = time.perf_counter()
+                trainer.variables, trainer.opt_state, loss, acc = trainer._step_fn(
+                    trainer.variables, trainer.opt_state,
+                    jnp.asarray(batch.seeds),
+                    [jnp.asarray(l) for l in batch.layers],
+                    jnp.asarray(batch.labels), rng)
+                jax.block_until_ready(loss)
+                stats = {"loss": float(loss), "step_time": time.perf_counter() - t1}
+            logger.info(f"run-one: {stats}")
+            return stats
+
+        with M.profile_trace(args.profile_dir if args.profile else None):
+            result = trainer.fit()
+        logger.info(f"best: {result['best']}")
+        logger.info(f"embed params MB: "
+                    f"{M.model_size_mb(trainer.variables['params'].get('embed', {})):.2f}")
+        if args.save_model:
+            path = save_checkpoint(args.ckpt_dir, trainer_step(trainer),
+                                   trainer.variables, trainer.opt_state,
+                                   {"best": result["best"]})
+            logger.info(f"checkpoint: {path}")
+        return result
+
+    if args.autotune:
+        from .utils.tuner import tune_tt_rank
+
+        def tput_of(ranks):
+            cfg_epochs, args_epochs = 1, args.epochs
+            args.epochs = 1
+            try:
+                res = run_once(ranks)
+            finally:
+                args.epochs = args_epochs
+            hist = res["history"][-1] if isinstance(res, dict) and "history" in res else res
+            return hist.get("samples_per_s", hist.get("edges_per_s", 1.0))
+
+        tr = tune_tt_rank(tput_of, budget=args.tune_budget, seed=args.seed)
+        print(json.dumps({"best_ranks": tr.best_params,
+                          "objective": tr.best_value}))
+        return
+
+    best = None
+    for run in range(args.n_runs):
+        args.seed = args.seed + run
+        result = run_once(args.tt_rank)
+        if isinstance(result, dict) and "best" in result:
+            if best is None or result["best"]["test_acc"] > best["test_acc"]:
+                best = result["best"]
+    if best:
+        print(json.dumps({"best": best}))
+
+
+def trainer_step(trainer) -> int:
+    return getattr(trainer, "step", 0)
+
+
+def _maybe_init_cores(args, ds, logger):
+    """ortho/eigen/dortho core init (gnn_model.py:129-178)."""
+    if not args.use_tt or args.init in ("normal", "uniform", "naive-uniform",
+                                        "approx-normal", "approx-uniform"):
+        return None
+    from .ops import make_tt_shapes, tt_init
+
+    shapes = make_tt_shapes(ds.num_nodes, ds.feat_dim, tuple(args.tt_rank),
+                            tuple(args.p_shapes) if args.p_shapes else None,
+                            tuple(args.q_shapes) if args.q_shapes else None)
+    t0 = time.time()
+    if args.init == "ortho":
+        cores = tt_init.init_ortho(shapes, seed=args.seed)
+    elif args.init == "dortho":
+        cores = tt_init.init_dortho(shapes, seed=args.seed)
+    elif args.init == "eigen":
+        cores = tt_init.init_eigen(shapes, ds.graph.indptr, ds.graph.indices,
+                                   seed=args.seed)
+    else:
+        return None
+    logger.info(f"init={args.init} cores in {time.time() - t0:.1f}s")
+    return tuple(cores)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,361 @@
+// falcon_native — host-side native runtime for the TPU framework.
+//
+// TPU-native equivalents of the reference's native layer. The reference's
+// C++/CUDA lives in the device lookup kernels (FBTT/, Efficient_TT/); on
+// TPU the device path is XLA/Pallas, so the native layer moves to where
+// the host actually bottlenecks: graph construction, neighbor sampling
+// (the DGL CPU-worker role, `graphloader.py:237-275`), and METIS-style
+// multilevel partitioning (`graphloader.py:399-454`).
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
+// All functions are thread-parallel with std::thread; RNG is xorshift128+
+// per thread (counter-seeded, reproducible).
+//
+// Build: make -C falcon_ttdforgnns_tpu/csrc  (produces libfalcon_native.so)
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <numeric>
+#include <random>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline int hw_threads() {
+  unsigned n = std::thread::hardware_concurrency();
+  return n == 0 ? 4 : static_cast<int>(n);
+}
+
+// Split [0, n) into roughly equal chunks and run fn(begin, end) on each.
+template <typename F>
+void parallel_for(int64_t n, F fn, int max_threads = 0) {
+  int nt = max_threads > 0 ? max_threads : hw_threads();
+  if (n < 4096 || nt <= 1) {
+    fn(0, n);
+    return;
+  }
+  nt = static_cast<int>(std::min<int64_t>(nt, n));
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  int64_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t b = t * chunk, e = std::min(n, b + chunk);
+    if (b >= e) break;
+    ts.emplace_back([=] { fn(b, e); });
+  }
+  for (auto& t : ts) t.join();
+}
+
+struct XorShift128 {
+  uint64_t s0, s1;
+  explicit XorShift128(uint64_t seed) {
+    // splitmix64 seeding
+    auto mix = [](uint64_t& x) {
+      x += 0x9E3779B97f4A7C15ull;
+      uint64_t z = x;
+      z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+      z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+      return z ^ (z >> 31);
+    };
+    uint64_t x = seed ? seed : 1;
+    s0 = mix(x);
+    s1 = mix(x);
+  }
+  inline uint64_t next() {
+    uint64_t x = s0, y = s1;
+    s0 = y;
+    x ^= x << 23;
+    s1 = x ^ y ^ (x >> 17) ^ (y >> 26);
+    return s1 + y;
+  }
+  // unbiased-enough range map (Lemire)
+  inline uint64_t bounded(uint64_t range) {
+    return (static_cast<__uint128_t>(next()) * range) >> 64;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// CSR construction: counting sort of edges by dst (in-neighbor CSR).
+// Replaces numpy add.at + argsort (graph/csr.py fallback) — O(E), threaded.
+// ---------------------------------------------------------------------------
+void build_csr(const int64_t* src, const int64_t* dst, int64_t num_edges,
+               int64_t num_nodes, int add_reverse, int64_t* out_indptr,
+               int32_t* out_indices) {
+  const int64_t total = add_reverse ? 2 * num_edges : num_edges;
+  std::vector<std::atomic<int64_t>> deg(num_nodes);
+  for (auto& d : deg) d.store(0, std::memory_order_relaxed);
+
+  parallel_for(num_edges, [&](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i) {
+      deg[dst[i]].fetch_add(1, std::memory_order_relaxed);
+      if (add_reverse) deg[src[i]].fetch_add(1, std::memory_order_relaxed);
+    }
+  });
+  out_indptr[0] = 0;
+  for (int64_t v = 0; v < num_nodes; ++v)
+    out_indptr[v + 1] = out_indptr[v] + deg[v].load(std::memory_order_relaxed);
+
+  std::vector<std::atomic<int64_t>> cursor(num_nodes);
+  for (int64_t v = 0; v < num_nodes; ++v)
+    cursor[v].store(out_indptr[v], std::memory_order_relaxed);
+
+  parallel_for(num_edges, [&](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i) {
+      int64_t p = cursor[dst[i]].fetch_add(1, std::memory_order_relaxed);
+      out_indices[p] = static_cast<int32_t>(src[i]);
+      if (add_reverse) {
+        int64_t q = cursor[src[i]].fetch_add(1, std::memory_order_relaxed);
+        out_indices[q] = static_cast<int32_t>(dst[i]);
+      }
+    }
+  });
+  (void)total;
+}
+
+// ---------------------------------------------------------------------------
+// Neighbor sampling with replacement (static fan-out; self-loop when
+// isolated).  The native fast path behind graph/sampler.py.
+// nodes: (M,) int64; out: (M*fanout,) int32, row-major.
+// ---------------------------------------------------------------------------
+void sample_neighbors(const int64_t* indptr, const int32_t* indices,
+                      const int64_t* nodes, int64_t num_nodes_in,
+                      int32_t fanout, uint64_t seed, int32_t* out) {
+  parallel_for(num_nodes_in, [&](int64_t b, int64_t e) {
+    XorShift128 rng(seed * 0x9E3779B97f4A7C15ull + static_cast<uint64_t>(b) + 1);
+    for (int64_t i = b; i < e; ++i) {
+      const int64_t u = nodes[i];
+      const int64_t lo = indptr[u], hi = indptr[u + 1];
+      const int64_t deg = hi - lo;
+      int32_t* row = out + i * fanout;
+      if (deg <= 0) {
+        for (int f = 0; f < fanout; ++f) row[f] = static_cast<int32_t>(u);
+      } else {
+        for (int f = 0; f < fanout; ++f)
+          row[f] = indices[lo + static_cast<int64_t>(rng.bounded(deg))];
+      }
+    }
+  });
+}
+
+// Full multi-layer sampling in one call: expands the seed frontier through
+// `num_layers` fanouts, writing each level's (B * prod(f)) block into `out`
+// at the provided offsets.  Avoids Python-loop overhead per layer.
+void sample_block_multi(const int64_t* indptr, const int32_t* indices,
+                        const int64_t* seeds, int64_t batch,
+                        const int32_t* fanouts, int32_t num_layers,
+                        uint64_t seed, int32_t* out /* concat of levels */) {
+  std::vector<int64_t> frontier(seeds, seeds + batch);
+  int64_t off = 0;
+  for (int32_t l = 0; l < num_layers; ++l) {
+    const int32_t f = fanouts[l];
+    const int64_t m = static_cast<int64_t>(frontier.size());
+    int32_t* level_out = out + off;
+    sample_neighbors(indptr, indices, frontier.data(), m, f,
+                     seed + 0x51ed270bULL * static_cast<uint64_t>(l + 1),
+                     level_out);
+    off += m * f;
+    frontier.assign(level_out, level_out + m * f);
+    // no dedup by design: static shapes; duplicates feed TT group-dedup
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Multilevel k-way partition (METIS-style): heavy-edge-matching coarsening,
+// BFS-grown initial partition, greedy boundary refinement, projection.
+// Replaces the numpy fallback in graph/reorder.py for big graphs.
+// ---------------------------------------------------------------------------
+namespace part {
+
+struct Graph {
+  std::vector<int64_t> indptr;
+  std::vector<int32_t> indices;
+  std::vector<int32_t> vwgt;  // coarse node weights (collapsed count)
+  int64_t n() const { return static_cast<int64_t>(indptr.size()) - 1; }
+};
+
+Graph coarsen(const Graph& g, std::vector<int32_t>& cmap, uint64_t seed) {
+  const int64_t n = g.n();
+  cmap.assign(n, -1);
+  std::vector<int32_t> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  XorShift128 rng(seed);
+  for (int64_t i = n - 1; i > 0; --i)
+    std::swap(order[i], order[rng.bounded(i + 1)]);
+
+  int32_t nxt = 0;
+  for (int32_t u : order) {
+    if (cmap[u] != -1) continue;
+    int32_t mate = u;
+    for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j) {
+      int32_t v = g.indices[j];
+      if (cmap[v] == -1 && v != u) { mate = v; break; }
+    }
+    cmap[u] = nxt;
+    if (mate != u) cmap[mate] = nxt;
+    ++nxt;
+  }
+  // build coarse graph (dedup multi-edges with a per-row stamp array)
+  Graph cg;
+  cg.vwgt.assign(nxt, 0);
+  for (int64_t u = 0; u < n; ++u) cg.vwgt[cmap[u]] += g.vwgt.empty() ? 1 : g.vwgt[u];
+  std::vector<std::vector<int32_t>> adj(nxt);
+  for (int64_t u = 0; u < n; ++u) {
+    int32_t cu = cmap[u];
+    for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j) {
+      int32_t cv = cmap[g.indices[j]];
+      if (cu != cv) adj[cu].push_back(cv);
+    }
+  }
+  cg.indptr.resize(nxt + 1);
+  cg.indptr[0] = 0;
+  int64_t tot = 0;
+  for (int32_t v = 0; v < nxt; ++v) {
+    auto& a = adj[v];
+    std::sort(a.begin(), a.end());
+    a.erase(std::unique(a.begin(), a.end()), a.end());
+    tot += static_cast<int64_t>(a.size());
+    cg.indptr[v + 1] = tot;
+  }
+  cg.indices.resize(tot);
+  for (int32_t v = 0; v < nxt; ++v)
+    std::copy(adj[v].begin(), adj[v].end(), cg.indices.begin() + cg.indptr[v]);
+  return cg;
+}
+
+void bfs_grow(const Graph& g, int32_t k, uint64_t seed, std::vector<int32_t>& part) {
+  const int64_t n = g.n();
+  part.assign(n, -1);
+  int64_t total_w = 0;
+  for (int64_t v = 0; v < n; ++v) total_w += g.vwgt.empty() ? 1 : g.vwgt[v];
+  const int64_t target = (total_w + k - 1) / k;
+  std::vector<int64_t> size(k, 0);
+  std::vector<std::deque<int32_t>> q(k);
+  XorShift128 rng(seed);
+  for (int32_t p = 0; p < k; ++p) {
+    for (int attempts = 0; attempts < 64; ++attempts) {
+      int32_t s = static_cast<int32_t>(rng.bounded(n));
+      if (part[s] == -1) {
+        part[s] = p;
+        size[p] += g.vwgt.empty() ? 1 : g.vwgt[s];
+        q[p].push_back(s);
+        break;
+      }
+    }
+  }
+  bool active = true;
+  while (active) {
+    active = false;
+    for (int32_t p = 0; p < k; ++p) {
+      int budget = 256;
+      while (!q[p].empty() && size[p] < target && budget > 0) {
+        int32_t u = q[p].front();
+        q[p].pop_front();
+        for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j) {
+          int32_t v = g.indices[j];
+          if (part[v] == -1) {
+            part[v] = p;
+            size[p] += g.vwgt.empty() ? 1 : g.vwgt[v];
+            q[p].push_back(v);
+            if (--budget <= 0 || size[p] >= target) break;
+          }
+        }
+      }
+      if (!q[p].empty() && size[p] < target) active = true;
+    }
+  }
+  for (int64_t v = 0; v < n; ++v)
+    if (part[v] == -1) {
+      int32_t best = 0;
+      for (int32_t p = 1; p < k; ++p)
+        if (size[p] < size[best]) best = p;
+      part[v] = best;
+      size[best] += g.vwgt.empty() ? 1 : g.vwgt[v];
+    }
+}
+
+// one pass of greedy boundary refinement (KL/FM-lite with balance guard)
+void refine(const Graph& g, int32_t k, std::vector<int32_t>& part, int passes) {
+  const int64_t n = g.n();
+  std::vector<int64_t> size(k, 0);
+  for (int64_t v = 0; v < n; ++v) size[part[v]] += g.vwgt.empty() ? 1 : g.vwgt[v];
+  int64_t total_w = 0;
+  for (auto s : size) total_w += s;
+  const int64_t cap = total_w / k + total_w / (4 * k) + 1;  // 1.25x balance
+
+  std::vector<int32_t> gain(k);
+  for (int pass = 0; pass < passes; ++pass) {
+    int64_t moved = 0;
+    for (int64_t u = 0; u < n; ++u) {
+      const int32_t pu = part[u];
+      std::fill(gain.begin(), gain.end(), 0);
+      for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j)
+        ++gain[part[g.indices[j]]];
+      int32_t best = pu;
+      for (int32_t p = 0; p < k; ++p)
+        if (p != pu && gain[p] > gain[best] && size[p] < cap) best = p;
+      if (best != pu && gain[best] > gain[pu]) {
+        const int32_t w = g.vwgt.empty() ? 1 : g.vwgt[u];
+        part[u] = best;
+        size[pu] -= w;
+        size[best] += w;
+        ++moved;
+      }
+    }
+    if (moved == 0) break;
+  }
+}
+
+}  // namespace part
+
+void partition_kway(const int64_t* indptr, const int32_t* indices,
+                    int64_t num_nodes, int32_t k, uint64_t seed,
+                    int32_t* out_part) {
+  part::Graph g;
+  g.indptr.assign(indptr, indptr + num_nodes + 1);
+  g.indices.assign(indices, indices + indptr[num_nodes]);
+  g.vwgt.assign(num_nodes, 1);
+
+  std::vector<part::Graph> levels;
+  std::vector<std::vector<int32_t>> cmaps;
+  levels.push_back(std::move(g));
+  const int64_t coarsen_to = std::max<int64_t>(4096, 8L * k);
+  while (levels.back().n() > coarsen_to && levels.size() < 24) {
+    std::vector<int32_t> cmap;
+    part::Graph cg = part::coarsen(levels.back(), cmap, seed + levels.size());
+    if (cg.n() >= levels.back().n() * 95 / 100) break;  // matching stalled
+    cmaps.push_back(std::move(cmap));
+    levels.push_back(std::move(cg));
+  }
+  std::vector<int32_t> p;
+  part::bfs_grow(levels.back(), k, seed, p);
+  part::refine(levels.back(), k, p, 4);
+  for (int64_t l = static_cast<int64_t>(cmaps.size()) - 1; l >= 0; --l) {
+    const auto& cmap = cmaps[l];
+    std::vector<int32_t> fine(cmap.size());
+    for (size_t v = 0; v < cmap.size(); ++v) fine[v] = p[cmap[v]];
+    p = std::move(fine);
+    part::refine(levels[l], k, p, 2);
+  }
+  std::copy(p.begin(), p.end(), out_part);
+}
+
+// ---------------------------------------------------------------------------
+// Degree computation & misc helpers
+// ---------------------------------------------------------------------------
+void out_degrees(const int64_t* indptr, int64_t num_nodes, int64_t* out) {
+  parallel_for(num_nodes, [&](int64_t b, int64_t e) {
+    for (int64_t v = b; v < e; ++v) out[v] = indptr[v + 1] - indptr[v];
+  });
+}
+
+int falcon_native_version() { return 1; }
+
+}  // extern "C"

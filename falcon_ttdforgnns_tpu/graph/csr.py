@@ -48,7 +48,17 @@ class CSRGraph:
     def from_edges(src: np.ndarray, dst: np.ndarray, num_nodes: int,
                    add_reverse: bool = True, dedup: bool = False) -> "CSRGraph":
         """Build in-neighbor CSR from an edge list.  ``add_reverse`` mirrors
-        the reference's to-bidirected transform (`graphloader.py:170-180`)."""
+        the reference's to-bidirected transform (`graphloader.py:170-180`).
+        Uses the threaded native counting-sort builder when available."""
+        if not dedup and len(src) > 100_000:
+            try:
+                from . import _native
+                indptr, indices = _native.build_csr(
+                    np.asarray(src, np.int64), np.asarray(dst, np.int64),
+                    num_nodes, add_reverse)
+                return CSRGraph(indptr=indptr, indices=indices, num_nodes=num_nodes)
+            except Exception:
+                pass
         if add_reverse:
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
         order = np.argsort(dst, kind="stable")

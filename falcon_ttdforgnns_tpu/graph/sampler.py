@@ -73,10 +73,16 @@ def sample_block(graph: CSRGraph, seeds: np.ndarray, fanouts: Sequence[int],
     first like the reference's ``--fan-out 5,10,15``
     (`graphloader.py:245-251` reverses for sampling: the *last* fanout is
     used for the seeds' direct neighbors)."""
+    rev = list(reversed(list(fanouts)))
+    if _native is not None:
+        layers = _native.sample_block_multi(
+            graph.indptr, graph.indices, seeds.astype(np.int64), rev,
+            int(rng.integers(1, 2**63 - 1)))
+        return SampledBatch(seeds=seeds.astype(np.int32), layers=layers)
     layers: List[np.ndarray] = []
     frontier = seeds.astype(np.int32)
     B = len(seeds)
-    for f in reversed(list(fanouts)):
+    for f in rev:
         nbrs = _sample_neighbors(graph, frontier.reshape(-1), f, rng)
         frontier = nbrs.reshape(B, -1)
         layers.append(frontier)

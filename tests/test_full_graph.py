@@ -1,0 +1,49 @@
+"""Full-graph GCN/GAT trainer tests (gcn_gat_partition.py parity)."""
+
+import numpy as np
+import pytest
+
+from falcon_ttdforgnns_tpu.graph import synthetic_dataset
+from falcon_ttdforgnns_tpu.train import FullGraphTrainer, FullGraphConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_ds():
+    return synthetic_dataset(num_nodes=500, avg_degree=6, num_classes=4,
+                             feat_dim=16, seed=1)
+
+
+@pytest.mark.parametrize("model", ["gcn", "gat"])
+def test_learns(tiny_ds, model):
+    # use_linear mirrors the reference GCN preset (run_script.sh:180) — the
+    # graph has no self-loops, so the linear branch is the self-feature path
+    cfg = FullGraphConfig(model=model, epochs=80, lr=0.01, hidden_dim=16,
+                          num_layers=2, num_heads=2, use_linear=True,
+                          use_tt=True, tt_ranks=(4, 4), weight_dist="normal",
+                          warmup_epochs=10, eval_every=80)
+    tr = FullGraphTrainer(tiny_ds, cfg)
+    res = tr.fit()
+    assert res["best"]["test_acc"] > 0.4   # 4 classes, random = 0.25
+
+
+def test_label_trick(tiny_ds):
+    cfg = FullGraphConfig(model="gcn", epochs=40, lr=0.01, hidden_dim=16,
+                          num_layers=2, use_labels=True, use_linear=True,
+                          use_tt=True, tt_ranks=(4, 4), weight_dist="normal",
+                          warmup_epochs=5, eval_every=40)
+    tr = FullGraphTrainer(tiny_ds, cfg)
+    res = tr.fit()
+    assert np.isfinite(res["history"][-1]["loss"])
+    assert res["best"]["test_acc"] > 0.3
+
+
+def test_log_eps_ce_positive():
+    import jax.numpy as jnp
+    from falcon_ttdforgnns_tpu.train import log_eps_cross_entropy
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(32, 5)).astype(np.float32))
+    labels = jnp.asarray(np.random.default_rng(1).integers(0, 5, 32))
+    loss = log_eps_cross_entropy(logits, labels)
+    assert float(loss) > 0
+    # perfect prediction -> loss near 0
+    perfect = jnp.eye(5)[labels] * 50.0
+    assert float(log_eps_cross_entropy(perfect, labels)) < 1e-3
