@@ -348,6 +348,39 @@ void partition_kway(const int64_t* indptr, const int32_t* indices,
 }
 
 // ---------------------------------------------------------------------------
+// R-MAT edge generation (Graph500-style power-law graphs) — the numpy
+// version needs minutes at products scale; this is seconds.
+// ---------------------------------------------------------------------------
+void rmat_edges(int64_t num_nodes, int64_t num_edges, uint64_t seed,
+                double a, double b, double c, int64_t* out_src,
+                int64_t* out_dst) {
+  int scale = 1;
+  while ((1LL << scale) < num_nodes) ++scale;
+  parallel_for(num_edges, [&](int64_t lo, int64_t hi) {
+    XorShift128 rng(seed * 0x2545F4914F6CDD1Dull + static_cast<uint64_t>(lo) + 1);
+    const double ab = a + b, abc = a + b + c;
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t s = 0, d = 0;
+      for (int l = 0; l < scale; ++l) {
+        const double r = (rng.next() >> 11) * (1.0 / 9007199254740992.0);
+        int sb, db;
+        if (r < a) { sb = 0; db = 0; }
+        else if (r < ab) { sb = 0; db = 1; }
+        else if (r < abc) { sb = 1; db = 0; }
+        else { sb = 1; db = 1; }
+        s = (s << 1) | sb;
+        d = (d << 1) | db;
+      }
+      s %= num_nodes;
+      d %= num_nodes;
+      if (s == d) d = (d + 1) % num_nodes;  // no self loops
+      out_src[i] = s;
+      out_dst[i] = d;
+    }
+  });
+}
+
+// ---------------------------------------------------------------------------
 // Degree computation & misc helpers
 // ---------------------------------------------------------------------------
 void out_degrees(const int64_t* indptr, int64_t num_nodes, int64_t* out) {

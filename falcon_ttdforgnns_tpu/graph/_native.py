@@ -40,6 +40,9 @@ _lib.sample_block_multi.argtypes = [_i64p, _i32p, _i64p, ctypes.c_int64,
                                     _i32p, ctypes.c_int32, ctypes.c_uint64, _i32p]
 _lib.partition_kway.argtypes = [_i64p, _i32p, ctypes.c_int64, ctypes.c_int32,
                                 ctypes.c_uint64, _i32p]
+_lib.rmat_edges.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
+                            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                            _i64p, _i64p]
 _lib.falcon_native_version.restype = ctypes.c_int
 
 VERSION = _lib.falcon_native_version()
@@ -85,6 +88,14 @@ def sample_block_multi(indptr: np.ndarray, indices: np.ndarray,
         levels.append(out[off:off + s].reshape(B, -1))
         off += s
     return levels
+
+
+def rmat_edges(num_nodes: int, num_edges: int, seed: int = 0,
+               a: float = 0.57, b: float = 0.19, c: float = 0.19):
+    src = np.empty(num_edges, dtype=np.int64)
+    dst = np.empty(num_edges, dtype=np.int64)
+    _lib.rmat_edges(num_nodes, num_edges, seed & (2**64 - 1), a, b, c, src, dst)
+    return src, dst
 
 
 def partition_kway(indptr: np.ndarray, indices: np.ndarray, k: int,

@@ -138,7 +138,14 @@ class NodeDataset:
 def rmat_edges(num_nodes: int, num_edges: int, seed: int = 0,
                a: float = 0.57, b: float = 0.19, c: float = 0.19) -> Tuple[np.ndarray, np.ndarray]:
     """R-MAT power-law edge generator (Graph500-style) — produces the skewed
-    degree distributions that make the LFU hot-row cache meaningful."""
+    degree distributions that make the LFU hot-row cache meaningful.
+    Native C++ path for big graphs (numpy needs minutes at products scale)."""
+    if num_edges > 500_000:
+        try:
+            from . import _native
+            return _native.rmat_edges(num_nodes, num_edges, seed, a, b, c)
+        except Exception:
+            pass
     rng = np.random.default_rng(seed)
     scale = max(1, int(np.ceil(np.log2(num_nodes))))
     src = np.zeros(num_edges, dtype=np.int64)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import cache as cache_ops
-from ..ops.tt_lookup import tt_embedding_bag, tt_lookup, tt_to_full
+from ..ops.tt_lookup import tt_embedding_bag, tt_lookup, tt_lookup_batched, tt_to_full
 from ..ops.tt_shapes import TTShapes, make_tt_shapes
 from ..ops import tt_init
 
@@ -68,6 +68,7 @@ class TTEmbeddingBag(nn.Module):
     grouped: bool = True
     precomputed_cores: Optional[Tuple[np.ndarray, ...]] = None
     init_seed: int = 0
+    batch_count: int = 131072  # lookup chunk size (cu:1027 analog)
 
     @property
     def shapes(self) -> TTShapes:
@@ -111,7 +112,8 @@ class TTEmbeddingBag(nn.Module):
                 meta = cache_ops.update_freq(meta, indices)
                 self.cache_meta.value = meta
             tt_idx, hit, slot = cache_ops.split_indices(meta, indices)
-            rows = tt_lookup(shapes, self.grouped, self.cores, tt_idx)
+            rows = tt_lookup_batched(shapes, self.cores, tt_idx,
+                                     self.grouped, self.batch_count)
             rows = cache_ops.cached_forward(self.cache_weight, rows, hit, slot)
             if offsets is not None:
                 num_bags = offsets.shape[0] - 1
@@ -120,7 +122,8 @@ class TTEmbeddingBag(nn.Module):
                 rows = jax.ops.segment_sum(rows, rowidx, num_segments=num_bags)
             return rows
         return tt_embedding_bag(shapes, self.cores, indices, offsets,
-                                grouped=self.grouped)
+                                grouped=self.grouped,
+                                batch_count=self.batch_count)
 
     def full_weight(self) -> jax.Array:
         """Materialize the entire table (`tt_embeddings_ops.py:617`;

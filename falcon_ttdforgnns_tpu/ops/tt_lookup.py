@@ -237,6 +237,29 @@ def _tt_lookup_bwd(shapes, grouped, res, d_out):
 tt_lookup.defvjp(_tt_lookup_fwd, _tt_lookup_bwd)
 
 
+def tt_lookup_batched(shapes: TTShapes, cores: Cores, indices: jax.Array,
+                      grouped: bool = True,
+                      batch_count: int = 131072) -> jax.Array:
+    """Chunked differentiable lookup for very large nnz.
+
+    The TPU analog of the reference's ``batch_count`` GEMM chunking
+    (`FBTT/tt_embeddings_cuda.cu:1027`): without it XLA materializes the
+    (B, r, q, r') gathered-core intermediates at once — at products scale
+    (918K indices per step) that is >2 GB of payload inflated ~8x by TPU
+    tile padding (trailing dims ≪ 128), which OOMs HBM.  ``lax.map`` over
+    fixed-size chunks bounds the working set; gradients flow through the
+    scan, so the backward is chunked too.
+    """
+    B = indices.shape[0]
+    if B <= batch_count:
+        return tt_lookup(shapes, grouped, cores, indices)
+    n_chunks = -(-B // batch_count)
+    pad = n_chunks * batch_count - B
+    idx = jnp.pad(indices, (0, pad)).reshape(n_chunks, batch_count)
+    out = jax.lax.map(lambda i: tt_lookup(shapes, grouped, cores, i), idx)
+    return out.reshape(n_chunks * batch_count, shapes.embedding_dim)[:B]
+
+
 # ---------------------------------------------------------------------------
 # EmbeddingBag pooling
 # ---------------------------------------------------------------------------
@@ -248,6 +271,7 @@ def tt_embedding_bag(
     offsets: Optional[jax.Array] = None,
     num_bags: Optional[int] = None,
     grouped: bool = True,
+    batch_count: int = 131072,
 ) -> jax.Array:
     """EmbeddingBag-style sum pooling over CSR ``offsets`` segments.
 
@@ -257,7 +281,7 @@ def tt_embedding_bag(
     drivers use — `gnn_model.py:199`): pass ``offsets=None`` for a pure
     lookup with no pooling reduction.
     """
-    rows = tt_lookup(shapes, grouped, cores, indices)
+    rows = tt_lookup_batched(shapes, cores, indices, grouped, batch_count)
     if offsets is None:
         return rows
     if num_bags is None:

@@ -1,0 +1,98 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: DP train step and
+node-sharded ring SpMM — capabilities the CUDA reference could only test on
+real multi-GPU hosts (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from falcon_ttdforgnns_tpu.graph import synthetic_dataset, sample_block, rmat_edges
+from falcon_ttdforgnns_tpu.models import SAGE
+from falcon_ttdforgnns_tpu.parallel import (
+    make_mesh, make_dp_train_step, shard_batch, replicate, scaling_efficiency)
+from falcon_ttdforgnns_tpu.parallel.node_sharding import (
+    partition_edges_by_block, ring_spmm)
+from falcon_ttdforgnns_tpu.train.optim import make_optimizer
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 virtual devices")
+
+
+class TestDataParallel:
+    def test_dp_step_matches_single_device(self):
+        """One DP step over 8 devices == the same step on one device."""
+        ds = synthetic_dataset(num_nodes=800, avg_degree=5, num_classes=4,
+                               feat_dim=16, seed=0)
+        model = SAGE(num_nodes=ds.num_nodes, in_dim=16, hidden_dim=16,
+                     num_classes=4, num_layers=2, use_tt=True, tt_ranks=(4, 4),
+                     weight_dist="normal", dropout=0.0)
+        batch = sample_block(ds.graph, np.arange(32), (2, 3),
+                             np.random.default_rng(0))
+        seeds = jnp.asarray(batch.seeds)
+        layers = tuple(jnp.asarray(l) for l in batch.layers)
+        labels = jnp.asarray(ds.labels[np.asarray(batch.seeds)].astype(np.int32))
+        key = jax.random.PRNGKey(0)
+        variables = model.init({"params": key, "dropout": key}, seeds, layers)
+        tx = make_optimizer(lr=0.01, plateau=False)
+        opt_state = tx.init(variables["params"])
+
+        # single-device reference step
+        import optax
+
+        def step(vs, os_, s, ls, y, k):
+            def loss_fn(p):
+                out = model.apply({"params": p}, s, ls, train=True,
+                                  rngs={"dropout": k})
+                return optax.softmax_cross_entropy_with_integer_labels(out, y).mean()
+            loss, grads = jax.value_and_grad(loss_fn)(vs["params"])
+            ups, nos = tx.update(grads, os_, vs["params"], value=loss)
+            return optax.apply_updates(vs["params"], ups), loss
+
+        ref_params, ref_loss = jax.jit(step)(variables, opt_state, seeds,
+                                             layers, labels, key)
+
+        mesh = make_mesh(n_data=8)
+        dp_step = make_dp_train_step(model, tx, mesh)
+        vs = replicate(mesh, variables)
+        os_ = replicate(mesh, tx.init(variables["params"]))
+        s, y = shard_batch(mesh, seeds, labels)
+        ls = tuple(shard_batch(mesh, l) for l in layers)
+        new_vars, _, loss, acc = dp_step(vs, os_, s, ls, y,
+                                         replicate(mesh, key))
+        # same loss (global mean) and same updated params (grad allreduce)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        a = jax.tree.leaves(new_vars["params"])
+        b = jax.tree.leaves(ref_params)
+        for x, y_ in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y_),
+                                       rtol=5e-4, atol=1e-5)
+
+    def test_scaling_efficiency_helper(self):
+        eff = scaling_efficiency({1: 100.0, 8: 640.0})
+        assert eff[8] == pytest.approx(0.8)
+
+
+class TestRingSpmm:
+    def test_matches_dense_spmm(self):
+        n, s_shards = 64, 8
+        src, dst = rmat_edges(n, 400, seed=2)
+        src = src.astype(np.int64); dst = dst.astype(np.int64)
+        d = 16
+        h = np.random.default_rng(0).normal(size=(n, d)).astype(np.float32)
+
+        # dense reference
+        ref = np.zeros_like(h)
+        np.add.at(ref, dst, h[src])
+
+        src_b, dst_b, w_b, block = partition_edges_by_block(
+            src, dst, n, s_shards, pad_multiple=8)
+        n_pad = block * s_shards
+        h_pad = np.zeros((n_pad, d), np.float32)
+        h_pad[:n] = h
+
+        mesh = make_mesh(n_data=1, n_node=8)
+        out = ring_spmm(mesh, jnp.asarray(h_pad), jnp.asarray(src_b),
+                        jnp.asarray(dst_b), jnp.asarray(w_b), axis="node")
+        np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=1e-4,
+                                   atol=1e-4)
