@@ -71,7 +71,7 @@ def main(argv=None):
                 cache_size=args.cache_size if args.use_cached else 0,
                 tt_optimizer="sgd" if args.sparse else "adam",
                 eval_every=args.eval_every, log_every=args.log_every,
-                seed=args.seed)
+                seed=args.seed, dist=args.dist, num_chips=args.num_chips)
             trainer = SageTrainer(ds, cfg, logger=logger,
                                   precomputed_cores=precomputed)
         else:

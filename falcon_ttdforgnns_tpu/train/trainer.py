@@ -52,6 +52,8 @@ class TrainConfig:
     seed: int = 0
     inference_chunk: int = 65536
     edge_chunk: int = 1 << 22
+    dist: bool = False          # data-parallel over the device mesh
+    num_chips: int = -1         # -1 = all devices
 
 
 class SageTrainer:
@@ -89,7 +91,19 @@ class SageTrainer:
             {"params": rng, "dropout": rng}, dummy[0], dummy[1], train=False)
         params = self.variables["params"]
         self.opt_state = self.tx.init(params)
-        self._step_fn = self._build_step()
+
+        self.mesh = None
+        if cfg.dist and jax.device_count() > 1:
+            # DDP analog (`sage_dgl_partition.py:198-255`): mesh DP — params
+            # replicated, batch sharded, grads psum'd by XLA.
+            from ..parallel import make_mesh, make_dp_train_step, replicate
+            n = cfg.num_chips if cfg.num_chips > 0 else jax.device_count()
+            self.mesh = make_mesh(n_data=n, devices=jax.devices()[:n])
+            self._step_fn = make_dp_train_step(self.model, self.tx, self.mesh)
+            self.variables = replicate(self.mesh, self.variables)
+            self.opt_state = replicate(self.mesh, self.opt_state)
+        else:
+            self._step_fn = self._build_step()
         self._metrics: Dict[str, List[float]] = {"loss": [], "throughput": []}
         self.step = 0
 
@@ -140,9 +154,16 @@ class SageTrainer:
         t0 = time.perf_counter()
         for it, batch in enumerate(self.loader):
             rng, sub = jax.random.split(rng)
-            seeds = jnp.asarray(batch.seeds)
-            layers = [jnp.asarray(l) for l in batch.layers]
-            labels = jnp.asarray(batch.labels)
+            if self.mesh is not None:
+                from ..parallel import shard_batch, replicate
+                seeds, labels = shard_batch(self.mesh, batch.seeds,
+                                            batch.labels)
+                layers = [shard_batch(self.mesh, l) for l in batch.layers]
+                sub = replicate(self.mesh, sub)
+            else:
+                seeds = jnp.asarray(batch.seeds)
+                layers = [jnp.asarray(l) for l in batch.layers]
+                labels = jnp.asarray(batch.labels)
             self.variables, self.opt_state, loss, acc = self._step_fn(
                 self.variables, self.opt_state, seeds, layers, labels, sub)
             self.step += 1

@@ -1,0 +1,92 @@
+"""Aux subsystems: profiler harness, checkpoint roundtrip, tuner, metrics."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from falcon_ttdforgnns_tpu.profiler import (generate_sparse_feature,
+                                            TTEmbeddingBenchmark)
+from falcon_ttdforgnns_tpu.train.checkpoint import (save_checkpoint,
+                                                    restore_checkpoint,
+                                                    latest_checkpoint)
+from falcon_ttdforgnns_tpu.utils.tuner import minimize, tune_tt_rank
+from falcon_ttdforgnns_tpu.utils import metrics as M
+
+
+class TestProfiler:
+    def test_sparse_feature_gen(self):
+        idx, offs = generate_sparse_feature(64, 1000, pooling_factor=5.0)
+        assert offs.shape == (65,)
+        assert offs[-1] == len(idx)
+        assert (np.diff(offs) >= 1).all()
+        assert idx.max() < 1000
+
+    def test_bench_correctness_small(self):
+        b = TTEmbeddingBenchmark(batch_size=128, p_shapes=(10, 12, 14),
+                                 q_shapes=(3, 4, 5), ranks=(8, 8))
+        err = b.check_forward()
+        assert err < 1e-3
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        variables = {"params": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+                                "b": jnp.ones((3,))}}
+        opt_state = {"mu": jnp.zeros((2, 3))}
+        path = save_checkpoint(str(tmp_path), 7, variables, opt_state,
+                               {"best": 0.5})
+        assert latest_checkpoint(str(tmp_path)) == path
+        restored = restore_checkpoint(path, {"variables": variables,
+                                             "opt_state": opt_state,
+                                             "extra": {"best": 0.5}})
+        np.testing.assert_array_equal(
+            np.asarray(restored["variables"]["params"]["w"]),
+            np.asarray(variables["params"]["w"]))
+        np.testing.assert_array_equal(
+            np.asarray(restored["opt_state"]["mu"]),
+            np.asarray(opt_state["mu"]))
+
+    def test_multiple_steps_latest(self, tmp_path):
+        v = {"x": jnp.zeros((2,))}
+        save_checkpoint(str(tmp_path), 1, v, {})
+        p2 = save_checkpoint(str(tmp_path), 10, v, {})
+        assert latest_checkpoint(str(tmp_path)) == p2
+
+
+class TestTuner:
+    def test_minimize_quadratic(self):
+        res = minimize(lambda p: (p["x"] - 17) ** 2, {"x": (1, 64)},
+                       budget=40, seed=0, engine="es")
+        assert abs(res.best_params["x"] - 17) <= 4
+
+    def test_tune_tt_rank_interface(self):
+        calls = []
+
+        def train_fn(ranks):
+            calls.append(ranks)
+            r1, r2 = ranks
+            return 1000.0 / (1 + abs(r1 - 16) + abs(r2 - 16))  # peak at 16,16
+
+        res = tune_tt_rank(train_fn, budget=20, rank_range=(2, 64), engine="es")
+        assert len(calls) == 20
+        assert abs(res.best_params["r1"] - 16) <= 12
+
+
+class TestMetrics:
+    def test_access_percentages(self):
+        counts = np.zeros(100)
+        counts[:10] = 100  # top 10% serve everything
+        pct = M.access_percentages(counts, (0.1, 0.5))
+        assert pct[0.1] == pytest.approx(1.0)
+
+    def test_model_size(self):
+        params = {"a": jnp.zeros((100, 10), jnp.float32)}
+        assert M.model_size_mb(params) == pytest.approx(0.004)
+
+    def test_cumulative_curve(self):
+        xs, ys = M.cumulative_access_curve(np.random.default_rng(0).zipf(1.5, 1000))
+        assert ys[-1] == pytest.approx(1.0)
+        assert (np.diff(ys) >= -1e-9).all()
