@@ -65,7 +65,10 @@ class TTEmbeddingBag(nn.Module):
     q_shapes: Optional[Tuple[int, ...]] = None
     weight_dist: str = "approx-normal"
     cache_size: int = 0
-    grouped: bool = True
+    # grouped (Efficient_TT prefix dedup) costs a device sort; measured on
+    # v5e the sort dominates the tiny TT arithmetic, so gather is the
+    # default and grouped is opt-in for extremely duplicated batches.
+    grouped: bool = False
     precomputed_cores: Optional[Tuple[np.ndarray, ...]] = None
     init_seed: int = 0
     batch_count: int = 131072  # lookup chunk size (cu:1027 analog)
@@ -187,3 +190,39 @@ class AccessCountingEmbedding(nn.Module):
             counts.value = counts.value.at[indices].add(1)
         return DenseEmbedding(self.num_embeddings, self.embedding_dim,
                               name="table")(indices, offsets)
+
+
+class TableBatchedTTEmbeddingBag(nn.Module):
+    """num_tables > 1 variant (parity with ``TableBatchedTTEmbeddingBag``,
+    `FBTT/tt_embeddings_ops.py:432-915`): one module, per-table TT cores,
+    vmapped lookup.  ``indices``/``offsets`` follow the reference's
+    table-batched contract: indices (num_tables, B) -> (num_tables, B, D).
+    The GNN drivers only ever use one table; this exists for embedding-
+    table workloads (DLRM-style)."""
+
+    num_tables: int
+    num_embeddings: int
+    embedding_dim: int
+    tt_ranks: Tuple[int, ...] = (16, 16)
+    p_shapes: Optional[Tuple[int, ...]] = None
+    q_shapes: Optional[Tuple[int, ...]] = None
+    weight_dist: str = "approx-normal"
+
+    @nn.compact
+    def __call__(self, indices: jax.Array,
+                 offsets: Optional[jax.Array] = None) -> jax.Array:
+        Bag = nn.vmap(
+            TTEmbeddingBag,
+            in_axes=(0, 0 if offsets is not None else None),
+            out_axes=0,
+            variable_axes={"params": 0, "ttcache": 0},
+            split_rngs={"params": True},
+        )
+        return Bag(
+            num_embeddings=self.num_embeddings,
+            embedding_dim=self.embedding_dim,
+            tt_ranks=self.tt_ranks,
+            p_shapes=self.p_shapes,
+            q_shapes=self.q_shapes,
+            weight_dist=self.weight_dist,
+            name="tables")(indices, offsets)

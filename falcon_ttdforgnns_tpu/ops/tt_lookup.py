@@ -238,7 +238,7 @@ tt_lookup.defvjp(_tt_lookup_fwd, _tt_lookup_bwd)
 
 
 def tt_lookup_batched(shapes: TTShapes, cores: Cores, indices: jax.Array,
-                      grouped: bool = True,
+                      grouped: bool = False,
                       batch_count: int = 131072) -> jax.Array:
     """Chunked differentiable lookup for very large nnz.
 
@@ -270,7 +270,7 @@ def tt_embedding_bag(
     indices: jax.Array,
     offsets: Optional[jax.Array] = None,
     num_bags: Optional[int] = None,
-    grouped: bool = True,
+    grouped: bool = False,
     batch_count: int = 131072,
 ) -> jax.Array:
     """EmbeddingBag-style sum pooling over CSR ``offsets`` segments.

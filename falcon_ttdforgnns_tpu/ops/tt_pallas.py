@@ -1,0 +1,144 @@
+"""Fused Pallas TT-lookup kernel (3-core path — the shipped config).
+
+The XLA path (ops/tt_lookup.py) materializes per-index gathered core rows
+and chain intermediates in HBM between fused regions; measured at products
+scale that costs ~10 ms per 65K lookups on v5e (tile-padded (B, q, r)
+intermediates).  This kernel keeps the whole per-block pipeline in VMEM.
+
+Layout strategy (the part that makes Mosaic happy AND fast): everything is
+**transposed** — features live in sublanes, batch lives in lanes:
+
+  ohT[p, b]      one-hot of digit           (iota == idx broadcast)
+  gT  = c0T @ ohT          (q1*r1, block)   MXU row-select
+  c1rT = c1T @ ohT2        (r1*q2*r2, block) MXU
+  c2rT = c2T @ ohT3        (r2*q3, block)   MXU
+  contraction over r1: 64 sublane-broadcast FMAs on (q2*r2, block)
+  contraction over r2: 320 sublane-broadcast FMAs on (q3, block)
+
+No lane-crossing reshapes (Mosaic "unsupported shape cast"), no strided
+lane slices; per-index scalars broadcast from single sublane rows.  The
+kernel writes the output transposed (D, B); the caller transposes once.
+
+Reference semantics: `FBTT/tt_embeddings_cuda.cu:967-1081` (forward chain)
+— re-architected for the MXU/VPU rather than translated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tt_shapes import TTShapes
+
+Cores = Tuple[jax.Array, ...]
+
+
+def _kernel(shapes: TTShapes, block: int, compute_dtype,
+            idx_ref, c0_ref, c1_ref, c2_ref, out_ref):
+    p1, p2, p3 = shapes.p_shapes
+    q1, q2, q3 = shapes.q_shapes
+    r1, r2 = shapes.ranks
+    s1, s2, _ = shapes.strides
+
+    idx = idx_ref[:]  # (block,) int32
+    i1 = idx // s1
+    i2 = (idx // s2) % p2
+    i3 = idx % p3
+
+    def onehot_t(d, p):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (p, block), 0)
+        return (rows == d[None, :]).astype(compute_dtype)
+
+    # MXU row-select matmuls, transposed: (F, p) @ (p, block) -> (F, block)
+    gT = jnp.dot(c0_ref[:], onehot_t(i1, p1),
+                 preferred_element_type=jnp.float32)      # (q1*r1, block)
+    c1rT = jnp.dot(c1_ref[:], onehot_t(i2, p2),
+                   preferred_element_type=jnp.float32)    # (r1*q2*r2, block)
+    c2rT = jnp.dot(c2_ref[:], onehot_t(i3, p3),
+                   preferred_element_type=jnp.float32)    # (r2*q3, block)
+
+    # contract r1: acc[(q1,q2,r2), b] = sum_r gT[(q1,r), b] * c1rT[(r,q2,r2), b]
+    m = q2 * r2
+    segs = []
+    for q in range(q1):
+        seg = gT[q * r1, :][None, :] * c1rT[0:m, :]
+        for r in range(1, r1):
+            seg = seg + gT[q * r1 + r, :][None, :] * c1rT[r * m:(r + 1) * m, :]
+        segs.append(seg)  # (q2*r2, block)
+
+    # contract r2: out[(q1,q2,q3), b] = sum_s acc[(q1,q2,s), b] * c2rT[(s,q3), b]
+    for q in range(q1):
+        for u in range(q2):
+            d = q * q2 + u
+            seg = segs[q][u * r2, :][None, :] * c2rT[0:q3, :]
+            for s in range(1, r2):
+                seg = seg + segs[q][u * r2 + s, :][None, :] * \
+                    c2rT[s * q3:(s + 1) * q3, :]
+            out_ref[d * q3:(d + 1) * q3, :] = seg
+
+
+def tt_lookup_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
+                     block: int = 1024,
+                     compute_dtype=jnp.bfloat16,
+                     interpret: Optional[bool] = None) -> jax.Array:
+    """Fused forward lookup: (B,) int32 -> (B, D).  B must be a multiple of
+    ``block`` (callers pad).  3-core TT only (the shipped config).
+    ``interpret`` defaults to True off-TPU (tests on CPU)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if shapes.ndim != 3:
+        raise ValueError("pallas kernel supports 3-core TT (use the XLA path)")
+    B = indices.shape[0]
+    if B % block != 0:
+        raise ValueError(f"B={B} must be a multiple of block={block}")
+    n_blocks = B // block
+
+    p1, p2, p3 = shapes.p_shapes
+    q1, q2, q3 = shapes.q_shapes
+    r1, r2 = shapes.ranks
+    # transposed core unfoldings: (F, p)
+    c0 = cores[0].reshape(p1, q1 * r1).T.astype(compute_dtype)
+    c1 = cores[1].reshape(p2, r1 * q2 * r2).T.astype(compute_dtype)
+    c2 = cores[2].reshape(p3, r2 * q3).T.astype(compute_dtype)
+
+    idx1 = indices.astype(jnp.int32)
+
+    kernel = functools.partial(_kernel, shapes, block, compute_dtype)
+    flops = 2 * B * (p1 * q1 * r1 + p2 * r1 * q2 * r2 + p3 * r2 * q3
+                     + q1 * r1 * q2 * r2 + q1 * q2 * r2 * q3)
+    outT = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # c0T resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # c1T resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # c2T resident
+        ],
+        out_specs=pl.BlockSpec((shapes.embedding_dim, block),
+                               lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((shapes.embedding_dim, B), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=B * 4 + B * shapes.embedding_dim * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(idx1, c0, c1, c2)
+    return outT.T
+
+
+def tt_lookup_pallas_padded(shapes: TTShapes, cores: Cores,
+                            indices: jax.Array, block: int = 1024,
+                            compute_dtype=jnp.bfloat16,
+                            interpret: Optional[bool] = None) -> jax.Array:
+    """Arbitrary-length wrapper: pads B up to a block multiple."""
+    B = indices.shape[0]
+    pad = (-B) % block
+    idx = jnp.pad(indices, (0, pad)) if pad else indices
+    out = tt_lookup_pallas(shapes, cores, idx, block, compute_dtype, interpret)
+    return out[:B]

@@ -1,0 +1,61 @@
+"""Pallas fused TT-lookup kernel vs the XLA reference path (interpret mode
+on CPU; the same kernel compiles via Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from falcon_ttdforgnns_tpu.ops import TTShapes, make_tt_shapes, tt_init
+from falcon_ttdforgnns_tpu.ops.tt_lookup import tt_lookup_gather
+from falcon_ttdforgnns_tpu.ops.tt_pallas import (tt_lookup_pallas,
+                                                 tt_lookup_pallas_padded)
+
+
+@pytest.fixture(scope="module")
+def case():
+    shapes = TTShapes(int(np.prod((10, 12, 14))), 60, (10, 12, 14), (3, 4, 5), (8, 8))
+    cores = tuple(jnp.asarray(c) for c in tt_init.init_tt_cores(shapes, "normal", 0))
+    return shapes, cores
+
+
+def test_matches_reference(case):
+    shapes, cores = case
+    idx = jnp.asarray(np.random.default_rng(0).integers(
+        0, shapes.num_embeddings, 512).astype(np.int32))
+    ref = tt_lookup_gather(shapes, cores, idx)
+    out = tt_lookup_pallas(shapes, cores, idx, block=128,
+                           compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_padded_arbitrary_length(case):
+    shapes, cores = case
+    idx = jnp.asarray(np.random.default_rng(1).integers(
+        0, shapes.num_embeddings, 333).astype(np.int32))
+    ref = tt_lookup_gather(shapes, cores, idx)
+    out = tt_lookup_pallas_padded(shapes, cores, idx, block=128,
+                                  compute_dtype=jnp.float32)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_products_config_shapes():
+    shapes = make_tt_shapes(2_449_029, 100, (16, 16), (125, 140, 140), (4, 5, 5))
+    cores = tuple(jnp.asarray(c) for c in tt_init.init_tt_cores(shapes, "normal", 0))
+    idx = jnp.asarray(np.random.default_rng(2).integers(
+        0, shapes.num_embeddings, 256).astype(np.int32))
+    ref = tt_lookup_gather(shapes, cores, idx)
+    out = tt_lookup_pallas(shapes, cores, idx, block=256,
+                           compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_rejects_non3core(case):
+    shapes = TTShapes(256, 64, (16, 16), (8, 8), (8,))
+    cores = tuple(jnp.asarray(c) for c in tt_init.init_tt_cores(shapes, "normal", 0))
+    with pytest.raises(ValueError):
+        tt_lookup_pallas(shapes, cores, jnp.zeros(128, jnp.int32))
