@@ -54,6 +54,12 @@ class TrainConfig:
     edge_chunk: int = 1 << 22
     dist: bool = False          # data-parallel over the device mesh
     num_chips: int = -1         # -1 = all devices
+    # Device-resident multi-step: stack S sampled batches host-side and run
+    # S optimizer steps inside one jitted fori_loop per dispatch.  Amortizes
+    # host/dispatch overhead (essential under remote-attached TPUs; measured
+    # 95 ms/step in-loop vs seconds when dispatched singly) and is the
+    # TPU-idiomatic trainer shape.  1 = classic per-step dispatch.
+    steps_per_call: int = 8
 
 
 class SageTrainer:
@@ -102,6 +108,9 @@ class SageTrainer:
             self._step_fn = make_dp_train_step(self.model, self.tx, self.mesh)
             self.variables = replicate(self.mesh, self.variables)
             self.opt_state = replicate(self.mesh, self.opt_state)
+        elif cfg.steps_per_call > 1:
+            self._step_fn = self._build_step()       # eval/run-one path
+            self._multi_fn = self._build_multi_step()
         else:
             self._step_fn = self._build_step()
         self._metrics: Dict[str, List[float]] = {"loss": [], "throughput": []}
@@ -144,9 +153,71 @@ class SageTrainer:
 
         return train_step
 
+    def _build_multi_step(self):
+        """S optimizer steps per dispatch: batches stacked on the leading
+        axis, fori_loop carries (variables, opt_state)."""
+        model, tx = self.model, self.tx
+        S = self.cfg.steps_per_call
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def multi_step(variables, opt_state, seeds, layers, labels, rng):
+            # seeds (S, B); layers tuple of (S, B, F_l); labels (S, B)
+            def body(i, carry):
+                variables, opt_state, loss_sum, acc_sum = carry
+                params = variables["params"]
+                aux = {k: v for k, v in variables.items() if k != "params"}
+
+                def loss_fn(p):
+                    out, mutated = model.apply(
+                        {"params": p, **aux}, seeds[i],
+                        [l[i] for l in layers], train=True,
+                        rngs={"dropout": jax.random.fold_in(rng, i)},
+                        mutable=["ttcache", "batch_stats", "access_counts"])
+                    loss = optax.softmax_cross_entropy_with_integer_labels(
+                        out, labels[i]).mean()
+                    return loss, (out, mutated)
+
+                (loss, (logits, mutated)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, new_opt = tx.update(grads, opt_state, params,
+                                             value=loss)
+                new_params = optax.apply_updates(params, updates)
+                acc = jnp.mean(jnp.argmax(logits, -1) == labels[i])
+                new_vars = {"params": new_params, **{**aux, **mutated}}
+                return (new_vars, new_opt, loss_sum + loss, acc_sum + acc)
+
+            variables, opt_state, loss_sum, acc_sum = jax.lax.fori_loop(
+                0, S, body, (variables, opt_state, jnp.float32(0),
+                             jnp.float32(0)))
+            return variables, opt_state, loss_sum / S, acc_sum / S
+
+        return multi_step
+
+    def _grouped_batches(self):
+        """Yield lists of S batches (cycling into the epoch start to fill
+        the final ragged group, mirroring the loader's tail-wrap)."""
+        S = self.cfg.steps_per_call
+        group: List = []
+        first: List = []
+        for batch in self.loader:
+            group.append(batch)
+            if len(first) < S:
+                first.append(batch)
+            if len(group) == S:
+                yield group
+                group = []
+        if group:
+            i = 0
+            while len(group) < S:
+                group.append(first[i % len(first)])
+                i += 1
+            yield group
+
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
+        if self.mesh is None and cfg.steps_per_call > 1:
+            return self._train_epoch_multi(epoch)
         rng = jax.random.PRNGKey(cfg.seed + 1000 + epoch)
         t_epoch = time.perf_counter()
         losses, accs = [], []  # device scalars; converted once at epoch end
@@ -180,6 +251,49 @@ class SageTrainer:
                         f"epoch {epoch} step {it + 1} loss {float(loss):.4f} "
                         f"acc {float(acc):.4f} {tput:.0f} samples/s")
                 t0 = time.perf_counter()
+        losses = [float(l) for l in losses]
+        accs = [float(a) for a in accs]
+        epoch_time = time.perf_counter() - t_epoch
+        return {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "train_acc": float(np.mean(accs)) if accs else float("nan"),
+            "epoch_time": epoch_time,
+            "samples_per_s": n_seen / epoch_time,
+        }
+
+    def _train_epoch_multi(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        S = cfg.steps_per_call
+        rng = jax.random.PRNGKey(cfg.seed + 1000 + epoch)
+        t_epoch = time.perf_counter()
+        losses, accs = [], []
+        n_seen = 0
+        window_seen = 0
+        t0 = time.perf_counter()
+        for gi, group in enumerate(self._grouped_batches()):
+            rng, sub = jax.random.split(rng)
+            seeds = jnp.asarray(np.stack([b.seeds for b in group]))
+            labels = jnp.asarray(np.stack([b.labels for b in group]))
+            layers = [jnp.asarray(np.stack([b.layers[li] for b in group]))
+                      for li in range(len(group[0].layers))]
+            self.variables, self.opt_state, loss, acc = self._multi_fn(
+                self.variables, self.opt_state, seeds, layers, labels, sub)
+            self.step += S
+            n_seen += S * cfg.batch_size
+            window_seen += S * cfg.batch_size
+            losses.append(loss); accs.append(acc)
+            if (gi + 1) * S % cfg.log_every < S:
+                jax.block_until_ready(loss)
+                dt = time.perf_counter() - t0
+                tput = window_seen / max(dt, 1e-9)
+                self._metrics["loss"].append(float(loss))
+                self._metrics["throughput"].append(tput)
+                if self.logger:
+                    self.logger.info(
+                        f"epoch {epoch} step {self.step} loss {float(loss):.4f} "
+                        f"acc {float(acc):.4f} {tput:.0f} samples/s")
+                t0 = time.perf_counter()
+                window_seen = 0
         losses = [float(l) for l in losses]
         accs = [float(a) for a in accs]
         epoch_time = time.perf_counter() - t_epoch

@@ -52,6 +52,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--eval", action="store_true")
     ap.add_argument("--cache-size", type=int, default=0)
+    ap.add_argument("--steps-per-call", type=int, default=48)
     ap.add_argument("--partition", type=int, default=0)
     args = ap.parse_args()
 
@@ -73,7 +74,8 @@ def main():
                       tt_ranks=(16, 16), p_shapes=(125, 140, 140),
                       q_shapes=(4, 5, 5), weight_dist="approx-normal",
                       cache_size=args.cache_size,
-                      eval_every=10**9, log_every=50)
+                      steps_per_call=args.steps_per_call,
+                      eval_every=10**9, log_every=10**9)
     t0 = time.time()
     tr = SageTrainer(ds, cfg)
     print(f"trainer init {time.time() - t0:.0f}s", file=sys.stderr)
