@@ -1,0 +1,72 @@
+"""papers100M-scale configuration correctness (shapes only — the full
+graph needs a multi-host pod; BASELINE.json's scale-out config).
+
+Checks the TT index math and cache machinery at a 111M-row id space with
+the reference's papers preset p=(400,500,600), q=(4,4,8)
+(`run_script.sh:408-430`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from falcon_ttdforgnns_tpu.ops import TTShapes, make_tt_shapes, tt_init
+from falcon_ttdforgnns_tpu.ops.tt_lookup import (tt_digits, tt_lookup_gather,
+                                                 tt_lookup_batched)
+from falcon_ttdforgnns_tpu.ops import cache as cache_ops
+
+N_PAPERS = 111_059_956
+
+
+def papers_shapes():
+    return make_tt_shapes(N_PAPERS, 128, (16, 16), (400, 500, 600), (4, 4, 8))
+
+
+def test_id_space_and_digits():
+    shapes = papers_shapes()
+    assert int(np.prod(shapes.p_shapes)) >= N_PAPERS
+    assert shapes.embedding_dim == 128
+    # digits roundtrip at the extreme ends of the id space (int32 safety)
+    idx = np.array([0, 1, N_PAPERS - 1, N_PAPERS // 2, 12345678], np.int64)
+    digs = tt_digits(shapes, jnp.asarray(idx))
+    recon = sum(np.asarray(d).astype(np.int64) * s
+                for d, s in zip(digs, shapes.strides))
+    np.testing.assert_array_equal(recon, idx)
+
+
+def test_lookup_at_scale_ids():
+    shapes = papers_shapes()
+    cores = tuple(jnp.asarray(c) for c in
+                  tt_init.init_tt_cores(shapes, "normal", seed=0))
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, N_PAPERS, 256))
+    out = tt_lookup_gather(shapes, cores, idx)
+    assert out.shape == (256, 128)
+    assert np.isfinite(np.asarray(out)).all()
+    # chunked path agrees
+    out2 = tt_lookup_batched(shapes, cores, idx, batch_count=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_compression_at_papers_scale():
+    shapes = papers_shapes()
+    # dense table: 111M x 128 fp32 = 56.9 GB; TT: a few MB
+    assert shapes.compression_rate > 1000
+
+
+def test_cache_on_large_id_space():
+    """The LFU frequency vector at papers scale is 111M int32 (~444 MB HBM)
+    — the design holds; the test uses a scaled-down id space with the same
+    code path plus top-k populate."""
+    shapes = TTShapes(1_000_000, 16, (100, 100, 100), (4, 2, 2), (4, 4))
+    cores = tuple(jnp.asarray(c) for c in
+                  tt_init.init_tt_cores(shapes, "normal", seed=0))
+    meta = cache_ops.init_meta(shapes.num_embeddings, 128)
+    hot = jnp.asarray(np.arange(999_000, 999_064, dtype=np.int32))
+    for _ in range(3):
+        meta = cache_ops.update_freq(meta, hot)
+    meta, weight = cache_ops.populate(shapes, cores, meta, 128, chunk=128)
+    ids = np.asarray(meta.ids)
+    assert set(np.asarray(hot).tolist()) <= set(ids[ids >= 0].tolist())
+    hitmask, slots = cache_ops.lookup(meta, hot)
+    assert bool(np.asarray(hitmask).all())
