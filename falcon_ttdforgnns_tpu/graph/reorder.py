@@ -306,3 +306,27 @@ def reorder_permutation(graph: CSRGraph, partition: int,
     if partition == -4:
         return louvain_partition_reorder(graph, seed=seed)
     return None
+
+
+def reorder_permutation_cached(graph: CSRGraph, partition: int,
+                               cache_dir: str = "./reorder_cache",
+                               levels: Optional[Sequence[int]] = None,
+                               seed: int = 0) -> Optional[np.ndarray]:
+    """Disk-cached reorder (SURVEY.md §7: partitioning papers100M is a
+    multi-hour job — cache the permutation keyed on graph shape + flags)."""
+    import hashlib
+    import os
+
+    if partition == 0:
+        return reorder_permutation(graph, partition, levels, seed)
+    key = hashlib.sha1(
+        f"{graph.num_nodes}:{graph.num_edges}:{partition}:{levels}:{seed}"
+        .encode() + graph.indptr[:1024].tobytes()).hexdigest()[:16]
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"perm_{key}.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    perm = reorder_permutation(graph, partition, levels, seed)
+    if perm is not None:
+        np.save(path, perm)
+    return perm

@@ -153,28 +153,43 @@ class SageTrainer:
 
         return train_step
 
+    def _layer_widths(self):
+        widths, f = [], 1
+        for fo in reversed(self.cfg.fanouts):
+            f *= fo
+            widths.append(f)
+        return widths
+
     def _build_multi_step(self):
-        """S optimizer steps per dispatch: batches stacked on the leading
-        axis, fori_loop carries (variables, opt_state)."""
+        """S optimizer steps per dispatch.  Batches arrive as ONE packed
+        int32 array (S, B, 2 + sum(F_l)): [seed, label, layer ids...] —
+        a single host->device transfer per dispatch (the per-buffer
+        round-trip cost on remote-attached TPUs dominates otherwise)."""
         model, tx = self.model, self.tx
         S = self.cfg.steps_per_call
+        widths = self._layer_widths()
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def multi_step(variables, opt_state, seeds, layers, labels, rng):
-            # seeds (S, B); layers tuple of (S, B, F_l); labels (S, B)
+        def multi_step(variables, opt_state, packed, rng):
             def body(i, carry):
                 variables, opt_state, loss_sum, acc_sum = carry
                 params = variables["params"]
                 aux = {k: v for k, v in variables.items() if k != "params"}
+                row = packed[i]                      # (B, 2 + sum(F))
+                seeds = row[:, 0]
+                labels = row[:, 1]
+                layers, off = [], 2
+                for w in widths:
+                    layers.append(row[:, off:off + w])
+                    off += w
 
                 def loss_fn(p):
                     out, mutated = model.apply(
-                        {"params": p, **aux}, seeds[i],
-                        [l[i] for l in layers], train=True,
+                        {"params": p, **aux}, seeds, layers, train=True,
                         rngs={"dropout": jax.random.fold_in(rng, i)},
                         mutable=["ttcache", "batch_stats", "access_counts"])
                     loss = optax.softmax_cross_entropy_with_integer_labels(
-                        out, labels[i]).mean()
+                        out, labels).mean()
                     return loss, (out, mutated)
 
                 (loss, (logits, mutated)), grads = jax.value_and_grad(
@@ -182,7 +197,7 @@ class SageTrainer:
                 updates, new_opt = tx.update(grads, opt_state, params,
                                              value=loss)
                 new_params = optax.apply_updates(params, updates)
-                acc = jnp.mean(jnp.argmax(logits, -1) == labels[i])
+                acc = jnp.mean(jnp.argmax(logits, -1) == labels)
                 new_vars = {"params": new_params, **{**aux, **mutated}}
                 return (new_vars, new_opt, loss_sum + loss, acc_sum + acc)
 
@@ -192,6 +207,20 @@ class SageTrainer:
             return variables, opt_state, loss_sum / S, acc_sum / S
 
         return multi_step
+
+    def _pack_group(self, group) -> np.ndarray:
+        """(S, B, 2 + sum(F)) int32: [seed, label, layer ids...]."""
+        S, B = len(group), self.cfg.batch_size
+        widths = self._layer_widths()
+        packed = np.empty((S, B, 2 + sum(widths)), np.int32)
+        for s, b in enumerate(group):
+            packed[s, :, 0] = b.seeds
+            packed[s, :, 1] = b.labels
+            off = 2
+            for li, w in enumerate(widths):
+                packed[s, :, off:off + w] = b.layers[li]
+                off += w
+        return packed
 
     def _grouped_batches(self):
         """Yield lists of S batches (cycling into the epoch start to fill
@@ -270,14 +299,27 @@ class SageTrainer:
         n_seen = 0
         window_seen = 0
         t0 = time.perf_counter()
-        for gi, group in enumerate(self._grouped_batches()):
+        # background prefetch: sample + pack + device_put group g+1 while
+        # the device executes group g
+        import concurrent.futures as _cf
+
+        def prepare(group):
+            return jax.device_put(self._pack_group(group))
+
+        pool = _cf.ThreadPoolExecutor(1)
+        groups = self._grouped_batches()
+        pending = None
+        for group in groups:
+            fut = pool.submit(prepare, group)
+            if pending is None:
+                pending = fut
+                continue
+            packed = pending.result()
+            pending = fut
             rng, sub = jax.random.split(rng)
-            seeds = jnp.asarray(np.stack([b.seeds for b in group]))
-            labels = jnp.asarray(np.stack([b.labels for b in group]))
-            layers = [jnp.asarray(np.stack([b.layers[li] for b in group]))
-                      for li in range(len(group[0].layers))]
             self.variables, self.opt_state, loss, acc = self._multi_fn(
-                self.variables, self.opt_state, seeds, layers, labels, sub)
+                self.variables, self.opt_state, packed, sub)
+            gi = self.step // S
             self.step += S
             n_seen += S * cfg.batch_size
             window_seen += S * cfg.batch_size
@@ -294,6 +336,15 @@ class SageTrainer:
                         f"acc {float(acc):.4f} {tput:.0f} samples/s")
                 t0 = time.perf_counter()
                 window_seen = 0
+        if pending is not None:  # flush the last prefetched group
+            packed = pending.result()
+            rng, sub = jax.random.split(rng)
+            self.variables, self.opt_state, loss, acc = self._multi_fn(
+                self.variables, self.opt_state, packed, sub)
+            self.step += S
+            n_seen += S * cfg.batch_size
+            losses.append(loss); accs.append(acc)
+        pool.shutdown(wait=False)
         losses = [float(l) for l in losses]
         accs = [float(a) for a in accs]
         epoch_time = time.perf_counter() - t_epoch

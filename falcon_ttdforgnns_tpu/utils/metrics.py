@@ -121,3 +121,30 @@ def plot_access_cdf(access_counts: np.ndarray, path: str) -> None:
     fig.tight_layout()
     fig.savefig(path)
     plt.close(fig)
+
+
+def degree_histogram(degrees: np.ndarray, bins: int = 50):
+    """Log-binned degree distribution (graphloader.py:188-207 parity)."""
+    degrees = np.asarray(degrees)
+    dmax = max(int(degrees.max()), 1)
+    edges = np.unique(np.round(np.logspace(0, np.log10(dmax + 1), bins)).astype(np.int64))
+    hist, _ = np.histogram(degrees, bins=edges)
+    return edges, hist
+
+
+def plot_degree_distribution(degrees: np.ndarray, path: str) -> None:
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    edges, hist = degree_histogram(degrees)
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.loglog(edges[:-1] + 1, hist + 1)
+    ax.set_xlabel("degree")
+    ax.set_ylabel("#nodes")
+    ax.set_title("degree distribution")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)

@@ -111,3 +111,26 @@ class TestReorder:
         p_part = reorder_permutation(g, 4)
         p_rand = reorder_permutation(g, 0)
         assert crossing(p_part) <= crossing(p_rand) + 0.05
+
+
+class TestReorderCache:
+    def test_cached_roundtrip(self, tmp_path):
+        g = small_graph()
+        p1 = __import__("falcon_ttdforgnns_tpu.graph.reorder", fromlist=["x"]) \
+            .reorder_permutation_cached(g, 4, str(tmp_path))
+        p2 = __import__("falcon_ttdforgnns_tpu.graph.reorder", fromlist=["x"]) \
+            .reorder_permutation_cached(g, 4, str(tmp_path))
+        np.testing.assert_array_equal(p1, p2)
+        import os
+        assert len(os.listdir(tmp_path)) == 1
+
+
+class TestEigenInit:
+    def test_spectral_tt_init(self):
+        from falcon_ttdforgnns_tpu.ops import TTShapes, tt_init
+        g = small_graph(n=300, deg=5)
+        shapes = TTShapes(300, 8, (7, 7, 7), (2, 2, 2), (4, 4))
+        cores = tt_init.init_eigen(shapes, g.indptr, g.indices)
+        for k, c in enumerate(cores):
+            assert c.shape == shapes.core_shape(k)
+            assert np.isfinite(c).all()
