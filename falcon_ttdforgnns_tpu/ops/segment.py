@@ -21,12 +21,16 @@ import jax.numpy as jnp
 
 
 def spmm_sum(h: jax.Array, src: jax.Array, dst: jax.Array, num_nodes: int,
-             edge_weight: Optional[jax.Array] = None) -> jax.Array:
-    """out[v] = sum_{(u->v)} w_e * h[u] — one-shot (small graphs)."""
+             edge_weight: Optional[jax.Array] = None,
+             sorted_dst: bool = True) -> jax.Array:
+    """out[v] = sum_{(u->v)} w_e * h[u] — one-shot (small graphs).
+    ``sorted_dst=True`` (the CSRGraph.to_coo guarantee) lets XLA lower the
+    segment reduction without scatter conflicts."""
     msgs = jnp.take(h, src, axis=0)
     if edge_weight is not None:
         msgs = msgs * edge_weight[:, None]
-    return jax.ops.segment_sum(msgs, dst, num_segments=num_nodes)
+    return jax.ops.segment_sum(msgs, dst, num_segments=num_nodes,
+                               indices_are_sorted=sorted_dst)
 
 
 def spmm_sum_chunked(h: jax.Array, src: jax.Array, dst: jax.Array, num_nodes: int,
@@ -43,13 +47,16 @@ def spmm_sum_chunked(h: jax.Array, src: jax.Array, dst: jax.Array, num_nodes: in
     pad = n_chunks * chunk - E
     w = edge_weight if edge_weight is not None else jnp.ones((E,), h.dtype)
     src_p = jnp.pad(src, (0, pad)).reshape(n_chunks, chunk)
-    dst_p = jnp.pad(dst, (0, pad)).reshape(n_chunks, chunk)
+    # pad dst with the max id so each chunk stays sorted (indices_are_sorted
+    # below is a correctness contract, not a hint); padded weights are zero
+    dst_p = jnp.pad(dst, (0, pad), constant_values=num_nodes - 1
+                    ).reshape(n_chunks, chunk)
     w_p = jnp.pad(w, (0, pad)).reshape(n_chunks, chunk)  # zero pad weight
 
     def body(acc, args):
         s, d, we = args
         msgs = jnp.take(h, s, axis=0) * we[:, None]
-        return acc.at[d].add(msgs), None
+        return acc.at[d].add(msgs, indices_are_sorted=True), None
 
     acc0 = jnp.zeros((num_nodes, h.shape[1]), dtype=h.dtype)
     acc, _ = jax.lax.scan(body, acc0, (src_p, dst_p, w_p))

@@ -340,3 +340,154 @@ def _fused_bwd(shapes, block, res, d_out):
 
 
 tt_lookup_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused in-kernel SGD: recompute-backward + core update in one kernel pass
+# (the reference's fused sparse optimizer, `update_tt_cores_sgd_kernel` +
+# `Fused_Efficient_TT_backward_sgd_cuda`, cu:381-397 / ecu:718-904 —
+# functional form: returns updated cores; buffers alias in-place on TPU).
+# ---------------------------------------------------------------------------
+
+def _sgd_kernel(shapes: TTShapes, block: int, compute_dtype, lr: float,
+                idx_ref, dout_ref, c0_ref, c1_ref, c2_ref,
+                o0_ref, o1_ref, o2_ref):
+    p1, p2, p3 = shapes.p_shapes
+    q1, q2, q3 = shapes.q_shapes
+    r1, r2 = shapes.ranks
+    s1, s2, _ = shapes.strides
+    m = q2 * r2
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        o0_ref[:, :] = c0_ref[:].astype(jnp.float32)
+        o1_ref[:, :] = c1_ref[:].astype(jnp.float32)
+        o2_ref[:, :] = c2_ref[:].astype(jnp.float32)
+
+    idx = idx_ref[:]
+    i1 = idx // s1
+    i2 = (idx // s2) % p2
+    i3 = idx % p3
+
+    def onehot_t(d, p):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (p, block), 0)
+        return (rows == d[None, :]).astype(compute_dtype)
+
+    oh1 = onehot_t(i1, p1)
+    oh2 = onehot_t(i2, p2)
+    oh3 = onehot_t(i3, p3)
+    gT = jnp.dot(c0_ref[:], oh1, preferred_element_type=jnp.float32)
+    c1rT = jnp.dot(c1_ref[:], oh2, preferred_element_type=jnp.float32)
+    c2rT = jnp.dot(c2_ref[:], oh3, preferred_element_type=jnp.float32)
+
+    segs = []
+    for q in range(q1):
+        seg = gT[q * r1, :][None, :] * c1rT[0:m, :]
+        for r in range(1, r1):
+            seg = seg + gT[q * r1 + r, :][None, :] * c1rT[r * m:(r + 1) * m, :]
+        segs.append(seg)
+
+    dout = dout_ref[:, :]
+
+    dc2_rows = []
+    for s in range(r2):
+        seg = segs[0][s, :][None, :] * dout[0:q3, :]
+        for q in range(q1):
+            for u in range(q2):
+                if q == 0 and u == 0:
+                    continue
+                d = q * q2 + u
+                seg = seg + segs[q][u * r2 + s, :][None, :] * \
+                    dout[d * q3:(d + 1) * q3, :]
+        dc2_rows.append(seg)
+    dc2 = jnp.concatenate(dc2_rows, axis=0)
+    o2_ref[:, :] += (-lr) * jnp.dot(dc2.astype(compute_dtype), oh3.T,
+                                    preferred_element_type=jnp.float32)
+
+    dacc = [None] * q1
+    for q in range(q1):
+        rows = []
+        for u in range(q2):
+            d = q * q2 + u
+            drow = dout[d * q3:(d + 1) * q3, :]
+            for s in range(r2):
+                prod = drow * c2rT[s * q3:(s + 1) * q3, :]
+                rows.append(jnp.sum(prod, axis=0, keepdims=True))
+        dacc[q] = jnp.concatenate(rows, axis=0)
+
+    dc1_rows = []
+    for r in range(r1):
+        seg = gT[r, :][None, :] * dacc[0]
+        for q in range(1, q1):
+            seg = seg + gT[q * r1 + r, :][None, :] * dacc[q]
+        dc1_rows.append(seg)
+    dc1 = jnp.concatenate(dc1_rows, axis=0)
+    o1_ref[:, :] += (-lr) * jnp.dot(dc1.astype(compute_dtype), oh2.T,
+                                    preferred_element_type=jnp.float32)
+
+    dg_rows = []
+    for q in range(q1):
+        for r in range(r1):
+            prod = c1rT[r * m:(r + 1) * m, :] * dacc[q]
+            dg_rows.append(jnp.sum(prod, axis=0, keepdims=True))
+    dg = jnp.concatenate(dg_rows, axis=0)
+    o0_ref[:, :] += (-lr) * jnp.dot(dg.astype(compute_dtype), oh1.T,
+                                    preferred_element_type=jnp.float32)
+
+
+def tt_fused_sgd_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
+                        d_out: jax.Array, lr: float, block: int = 1024,
+                        compute_dtype=jnp.bfloat16,
+                        interpret: Optional[bool] = None) -> Cores:
+    """One fused pass: recompute forward partials, backprop, apply SGD to
+    the cores; returns the updated cores.  Gradient uses the pre-step core
+    values throughout (exact SGD semantics; the reference's in-kernel
+    update reads partially-updated cores — a race it tolerates)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if shapes.ndim != 3:
+        raise ValueError("fused sgd supports 3-core TT")
+    B = indices.shape[0]
+    pad = (-B) % block
+    if pad:
+        indices = jnp.pad(indices, (0, pad))
+        d_out = jnp.pad(d_out, ((0, pad), (0, 0)))
+    B = indices.shape[0]
+    n_blocks = B // block
+
+    p1, p2, p3 = shapes.p_shapes
+    q1, q2, q3 = shapes.q_shapes
+    r1, r2 = shapes.ranks
+    c0 = cores[0].reshape(p1, q1 * r1).T.astype(compute_dtype)
+    c1 = cores[1].reshape(p2, r1 * q2 * r2).T.astype(compute_dtype)
+    c2 = cores[2].reshape(p3, r2 * q3).T.astype(compute_dtype)
+    doutT = d_out.T.astype(jnp.float32)
+
+    kernel = functools.partial(_sgd_kernel, shapes, block, compute_dtype, lr)
+    o0, o1, o2 = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((shapes.embedding_dim, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q1 * r1, p1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r1 * q2 * r2, p2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r2 * q3, p3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q1 * r1, p1), jnp.float32),
+            jax.ShapeDtypeStruct((r1 * q2 * r2, p2), jnp.float32),
+            jax.ShapeDtypeStruct((r2 * q3, p3), jnp.float32),
+        ),
+        interpret=interpret,
+    )(indices.astype(jnp.int32), doutT, c0, c1, c2)
+    return (o0.T.reshape(p1, 1, q1, r1),
+            o1.T.reshape(p2, r1, q2, r2),
+            o2.T.reshape(p3, r2, q3, 1))

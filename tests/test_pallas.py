@@ -59,3 +59,20 @@ def test_rejects_non3core(case):
     cores = tuple(jnp.asarray(c) for c in tt_init.init_tt_cores(shapes, "normal", 0))
     with pytest.raises(ValueError):
         tt_lookup_pallas(shapes, cores, jnp.zeros(128, jnp.int32))
+
+
+def test_fused_sgd_matches_manual(case):
+    """fused SGD step == cores - lr * dense grads."""
+    from falcon_ttdforgnns_tpu.ops.tt_lookup import tt_core_grads
+    from falcon_ttdforgnns_tpu.ops.tt_pallas import tt_fused_sgd_pallas
+    shapes, cores = case
+    rng = np.random.default_rng(3)
+    idx = jnp.asarray(rng.integers(0, shapes.num_embeddings, 300).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(300, shapes.embedding_dim)).astype(np.float32))
+    lr = 0.05
+    new = tt_fused_sgd_pallas(shapes, cores, idx, g, lr, block=128,
+                              compute_dtype=jnp.float32)
+    grads = tt_core_grads(shapes, cores, idx, g, dedup=False)
+    for nc, c, gr in zip(new, cores, grads):
+        np.testing.assert_allclose(np.asarray(nc), np.asarray(c - lr * gr),
+                                   rtol=1e-4, atol=1e-5)
