@@ -99,7 +99,7 @@ class NeighborLoader:
 
     def __init__(self, graph: CSRGraph, seed_nodes: np.ndarray, labels: np.ndarray,
                  fanouts: Sequence[int], batch_size: int, shuffle: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, track_freq: bool = True):
         self.graph = graph
         self.seed_nodes = np.asarray(seed_nodes, dtype=np.int64)
         self.labels = labels
@@ -107,6 +107,11 @@ class NeighborLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
+        # Host-side LFU accounting (`update_cache_state_cuda` analog,
+        # cu:1083-1119): the sampler already touches every id, so counting
+        # here is ~free and keeps the device hot loop scatter-free.
+        self.track_freq = track_freq
+        self.freq = np.zeros(graph.num_nodes, dtype=np.int64) if track_freq else None
 
     def __len__(self) -> int:
         return max(1, len(self.seed_nodes) // self.batch_size)
@@ -122,6 +127,8 @@ class NeighborLoader:
             seeds = self.seed_nodes[pick]
             batch = sample_block(self.graph, seeds, self.fanouts, self.rng)
             batch.labels = self.labels[seeds].astype(np.int32)
+            if self.track_freq:
+                np.add.at(self.freq, batch.all_nodes, 1)
             yield batch
 
 

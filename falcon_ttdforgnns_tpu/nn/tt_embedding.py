@@ -77,6 +77,10 @@ class TTEmbeddingBag(nn.Module):
     # (~100x the XLA gather path on v5e), XLA elsewhere.
     kernel: str = "auto"
     pallas_block: int = 1024
+    # LFU counting on-device is a scatter-add over every looked-up id —
+    # a TPU anti-pattern in the hot loop.  Default: the host sampler tracks
+    # frequencies (NeighborLoader.freq); flip on for device-side parity.
+    device_freq: bool = False
 
     def _use_pallas(self) -> bool:
         if self.kernel == "pallas":
@@ -130,7 +134,7 @@ class TTEmbeddingBag(nn.Module):
         shapes = self.shapes
         if self.cache_size > 0:
             meta = self.cache_meta.value
-            if count_accesses and not self.is_initializing():
+            if self.device_freq and count_accesses and not self.is_initializing():
                 meta = cache_ops.update_freq(meta, indices)
                 self.cache_meta.value = meta
             tt_idx, hit, slot = cache_ops.split_indices(meta, indices)

@@ -118,7 +118,7 @@ def make_optimizer(
     return optax.chain(*chain)
 
 
-def cache_populate_apply(model, variables: dict) -> dict:
+def cache_populate_apply(model, variables: dict, freq=None) -> dict:
     """Functionally run the warmup->populate transition
     (`sage_dgl_partition.py:350-361` lifecycle): returns new ``variables``
     with refreshed ``ttcache`` metadata and the materialized rows installed
@@ -127,6 +127,20 @@ def cache_populate_apply(model, variables: dict) -> dict:
     ``model`` is the flax module (SAGE or anything exposing
     ``embed_layer.cache_populate`` through ``apply``).
     """
+    if freq is not None:
+        import jax.numpy as jnp
+        tt = variables["ttcache"]
+        def inject(leaf):
+            return leaf
+        # replace the freq leaf of every CacheMeta in the collection
+        from ..ops.cache import CacheMeta
+        def walk(tree):
+            if isinstance(tree, CacheMeta):
+                return tree._replace(freq=jnp.asarray(freq, jnp.int32))
+            if isinstance(tree, dict):
+                return {k: walk(v) for k, v in tree.items()}
+            return tree
+        variables = {**variables, "ttcache": walk(tt)}
     _, mutated = model.apply(
         variables,
         method=lambda m: m.embed_layer.cache_populate(),

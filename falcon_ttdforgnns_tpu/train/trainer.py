@@ -359,7 +359,9 @@ class SageTrainer:
         """After warmup epoch(s): build the hot-row cache
         (`sage_dgl_partition.py:350-361`)."""
         if self.cfg.use_tt and self.cfg.cache_size > 0:
-            self.variables = cache_populate_apply(self.model, self.variables)
+            freq = getattr(self.loader, "freq", None)
+            self.variables = cache_populate_apply(self.model, self.variables,
+                                                  freq=freq)
 
     # ------------------------------------------------------------------
     def infer_full(self) -> np.ndarray:
@@ -417,3 +419,30 @@ class SageTrainer:
             if self.logger:
                 self.logger.info(f"epoch {epoch}: {stats}")
         return {"history": history, "best": best, "metrics": self._metrics}
+
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (the reference only saved state dicts,
+    # `sage_dgl_partition.py:385-394`; restore is new capability)
+    # ------------------------------------------------------------------
+    def save(self, ckpt_dir: str) -> str:
+        from .checkpoint import save_checkpoint
+        return save_checkpoint(ckpt_dir, self.step, self.variables,
+                               self.opt_state, extra={"step": self.step})
+
+    def restore(self, path: Optional[str] = None,
+                ckpt_dir: Optional[str] = None) -> None:
+        """Restore params + mutable collections + optimizer state + step."""
+        from .checkpoint import restore_checkpoint, latest_checkpoint
+        if path is None:
+            path = latest_checkpoint(ckpt_dir or "./checkpoints")
+            if path is None:
+                raise FileNotFoundError("no checkpoint found")
+        state = restore_checkpoint(path, {"variables": self.variables,
+                                          "opt_state": self.opt_state,
+                                          "extra": {"step": self.step}})
+        self.variables = jax.tree.map(jnp.asarray, state["variables"])
+        self.opt_state = jax.tree.map(
+            lambda a, b: jnp.asarray(b) if hasattr(b, "shape") else b,
+            self.opt_state, state["opt_state"])
+        self.step = int(state["extra"].get("step", 0))

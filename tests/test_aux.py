@@ -90,3 +90,28 @@ class TestMetrics:
         xs, ys = M.cumulative_access_curve(np.random.default_rng(0).zipf(1.5, 1000))
         assert ys[-1] == pytest.approx(1.0)
         assert (np.diff(ys) >= -1e-9).all()
+
+
+class TestTrainerResume:
+    def test_save_restore_continue(self, tmp_path):
+        from falcon_ttdforgnns_tpu.graph import synthetic_dataset
+        from falcon_ttdforgnns_tpu.train import SageTrainer, TrainConfig
+        ds = synthetic_dataset(num_nodes=400, avg_degree=5, num_classes=4,
+                               feat_dim=16, seed=3)
+        cfg = TrainConfig(batch_size=64, fanouts=(3, 3), epochs=1,
+                          hidden_dim=16, num_layers=2, use_tt=True,
+                          tt_ranks=(4, 4), weight_dist="normal",
+                          eval_every=10**9, log_every=10**9, seed=5)
+        t1 = SageTrainer(ds, cfg)
+        t1.train_epoch(0)
+        path = t1.save(str(tmp_path))
+        logits1 = t1.infer_full()
+
+        t2 = SageTrainer(ds, cfg)   # fresh init (different state)
+        t2.restore(path)
+        assert t2.step == t1.step
+        logits2 = t2.infer_full()
+        np.testing.assert_allclose(logits1, logits2, rtol=1e-5, atol=1e-5)
+        # training continues from the restored state without error
+        stats = t2.train_epoch(1)
+        assert np.isfinite(stats["loss"])

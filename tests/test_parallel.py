@@ -96,3 +96,43 @@ class TestRingSpmm:
                         jnp.asarray(dst_b), jnp.asarray(w_b), axis="node")
         np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=1e-4,
                                    atol=1e-4)
+
+
+class TestShardedInference:
+    def test_layerwise_matches_dense(self):
+        """Node-sharded layer-wise inference == dense reference on the
+        8-device mesh (the papers100M inference path)."""
+        from falcon_ttdforgnns_tpu.parallel.node_sharding import (
+            partition_edges_by_block, sharded_layerwise_inference)
+        n, s_shards, d = 64, 8, 8
+        src, dst = rmat_edges(n, 300, seed=5)
+        src, dst = src.astype(np.int64), dst.astype(np.int64)
+        h0 = np.random.default_rng(1).normal(size=(n, d)).astype(np.float32)
+        in_deg = np.bincount(dst, minlength=n).astype(np.float32)
+        w = np.random.default_rng(2).normal(size=(d, d)).astype(np.float32) * 0.3
+
+        src_b, dst_b, w_b, block = partition_edges_by_block(src, dst, n, s_shards,
+                                                            pad_multiple=8)
+        n_pad = block * s_shards
+        h_pad = np.zeros((n_pad, d), np.float32)
+        h_pad[:n] = h0
+        deg_pad = np.ones((n_pad,), np.float32)
+        deg_pad[:n] = np.maximum(in_deg, 1.0)
+
+        def apply_fn(variables, h, agg, li):
+            return jnp.tanh(agg @ variables)  # simple per-layer transform
+
+        mesh = make_mesh(n_data=1, n_node=8)
+        out = sharded_layerwise_inference(
+            mesh, apply_fn, jnp.asarray(w), jnp.asarray(h_pad),
+            jnp.asarray(src_b), jnp.asarray(dst_b), jnp.asarray(w_b),
+            jnp.asarray(deg_pad), num_layers=2)
+
+        # dense reference
+        h = h0
+        for _ in range(2):
+            agg = np.zeros_like(h)
+            np.add.at(agg, dst, h[src])
+            agg = agg / np.maximum(in_deg, 1.0)[:, None]
+            h = np.tanh(agg @ w)
+        np.testing.assert_allclose(np.asarray(out)[:n], h, rtol=1e-4, atol=1e-4)
