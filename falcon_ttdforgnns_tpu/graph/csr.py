@@ -112,6 +112,27 @@ class NodeDataset:
     def num_nodes(self) -> int:
         return self.graph.num_nodes
 
+    def save_npz(self, path: str) -> None:
+        """Serialize to one .npz (preprocessing artifact caching — METIS at
+        papers100M scale is a multi-hour job, SURVEY.md §7)."""
+        np.savez(path, indptr=self.graph.indptr, indices=self.graph.indices,
+                 num_nodes=self.num_nodes, labels=self.labels,
+                 train_idx=self.train_idx, val_idx=self.val_idx,
+                 test_idx=self.test_idx, num_classes=self.num_classes,
+                 feat_dim=self.feat_dim, name=self.name,
+                 **({"feats": self.feats} if self.feats is not None else {}))
+
+    @staticmethod
+    def load_npz(path: str) -> "NodeDataset":
+        z = np.load(path, allow_pickle=False)
+        graph = CSRGraph(indptr=z["indptr"], indices=z["indices"],
+                         num_nodes=int(z["num_nodes"]))
+        return NodeDataset(
+            graph=graph, labels=z["labels"], train_idx=z["train_idx"],
+            val_idx=z["val_idx"], test_idx=z["test_idx"],
+            num_classes=int(z["num_classes"]), feat_dim=int(z["feat_dim"]),
+            name=str(z["name"]), feats=z["feats"] if "feats" in z else None)
+
     def permute(self, perm: np.ndarray) -> "NodeDataset":
         """Apply a node relabeling to graph, labels, splits, features
         (the mask bookkeeping of `graphloader.py:449-452`)."""

@@ -148,3 +148,29 @@ def plot_degree_distribution(degrees: np.ndarray, path: str) -> None:
     fig.tight_layout()
     fig.savefig(path)
     plt.close(fig)
+
+
+def count_nnz(indices: np.ndarray) -> Dict[str, int]:
+    """Batch sparsity stats (`utils.py:21-33` count_nnz parity): total ids,
+    unique ids, duplication factor — the dedup-opportunity measurement."""
+    idx = np.asarray(indices).reshape(-1)
+    uniq = np.unique(idx)
+    return {"nnz": int(idx.size), "unique": int(uniq.size),
+            "dup_factor": float(idx.size / max(uniq.size, 1))}
+
+
+def max_batch_size(num_nodes: int, feat_dim: int, hidden_dim: int,
+                   fanouts, hbm_bytes: int = 16 << 30,
+                   dtype_bytes: int = 4, safety: float = 0.5) -> int:
+    """Estimate the largest seed batch that fits HBM for the dense-fanout
+    trainer (`utils.py:45-51` parity, re-derived for this memory model):
+    activations dominate — sum over levels of prod(fanouts[:l]) rows of
+    max(feat, hidden) floats, x2 for backward."""
+    per_seed_rows = 1
+    rows = 1
+    for f in reversed(list(fanouts)):
+        rows *= f
+        per_seed_rows += rows
+    width = max(feat_dim, hidden_dim)
+    bytes_per_seed = per_seed_rows * width * dtype_bytes * 2
+    return max(1, int(hbm_bytes * safety / bytes_per_seed))

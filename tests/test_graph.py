@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from falcon_ttdforgnns_tpu.graph import (
-    CSRGraph, synthetic_dataset, rmat_edges,
+    CSRGraph, NodeDataset, synthetic_dataset, rmat_edges,
     NeighborLoader, sample_block, pad_csr_rows,
     reorder_permutation, partition_graph, rcmk_reorder, degree_reorder,
 )
@@ -134,3 +134,16 @@ class TestEigenInit:
         for k, c in enumerate(cores):
             assert c.shape == shapes.core_shape(k)
             assert np.isfinite(c).all()
+
+
+class TestDatasetNpz:
+    def test_roundtrip(self, tmp_path):
+        ds = synthetic_dataset(num_nodes=300, avg_degree=4, seed=9)
+        path = str(tmp_path / "ds.npz")
+        ds.save_npz(path)
+        from falcon_ttdforgnns_tpu.graph import NodeDataset
+        ds2 = NodeDataset.load_npz(path)
+        np.testing.assert_array_equal(ds.graph.indptr, ds2.graph.indptr)
+        np.testing.assert_array_equal(ds.labels, ds2.labels)
+        np.testing.assert_array_equal(ds.train_idx, ds2.train_idx)
+        assert ds2.num_classes == ds.num_classes
