@@ -136,3 +136,38 @@ class TestShardedInference:
             agg = agg / np.maximum(in_deg, 1.0)[:, None]
             h = np.tanh(agg @ w)
         np.testing.assert_allclose(np.asarray(out)[:n], h, rtol=1e-4, atol=1e-4)
+
+
+class TestDpMultiStep:
+    def test_runs_and_learns_shape(self):
+        from falcon_ttdforgnns_tpu.parallel.data_parallel import make_dp_multi_step
+        from falcon_ttdforgnns_tpu.train.optim import make_optimizer
+        ds = synthetic_dataset(num_nodes=600, avg_degree=5, num_classes=4,
+                               feat_dim=16, seed=1)
+        model = SAGE(num_nodes=ds.num_nodes, in_dim=16, hidden_dim=16,
+                     num_classes=4, num_layers=2, use_tt=True, tt_ranks=(4, 4),
+                     weight_dist="normal", dropout=0.0)
+        B, S = 32, 3
+        widths = [3, 9]
+        rng_np = np.random.default_rng(0)
+        packed = np.empty((S, B, 2 + sum(widths)), np.int32)
+        for s in range(S):
+            batch = sample_block(ds.graph, rng_np.integers(0, ds.num_nodes, B),
+                                 (3, 3), rng_np)
+            packed[s, :, 0] = batch.seeds
+            packed[s, :, 1] = ds.labels[batch.seeds]
+            packed[s, :, 2:2 + 3] = batch.layers[0]
+            packed[s, :, 5:5 + 9] = batch.layers[1]
+        key = jax.random.PRNGKey(0)
+        seeds0 = jnp.asarray(packed[0, :, 0])
+        layers0 = [jnp.asarray(packed[0, :, 2:5]), jnp.asarray(packed[0, :, 5:14])]
+        variables = model.init({"params": key, "dropout": key}, seeds0, layers0)
+        tx = make_optimizer(lr=0.01, plateau=False)
+        mesh = make_mesh(n_data=8)
+        step = make_dp_multi_step(model, tx, mesh, S, widths)
+        vs = replicate(mesh, variables)
+        os_ = replicate(mesh, tx.init(variables["params"]))
+        pk = jax.device_put(jnp.asarray(packed),
+                            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data", None)))
+        vs, os_, loss, acc = step(vs, os_, pk, replicate(mesh, key))
+        assert np.isfinite(float(loss))
