@@ -141,11 +141,11 @@ def cache_populate_apply(model, variables: dict, freq=None) -> dict:
                 return {k: walk(v) for k, v in tree.items()}
             return tree
         variables = {**variables, "ttcache": walk(tt)}
-    _, mutated = model.apply(
-        variables,
+    _, mutated = jax.jit(lambda v: model.apply(
+        v,
         method=lambda m: m.embed_layer.cache_populate(),
         mutable=["ttcache", "ttcache_populate"],
-    )
+    ))(variables)
     new_vars = dict(variables)
     new_vars["ttcache"] = mutated["ttcache"]
     # install materialized rows into the param pytree

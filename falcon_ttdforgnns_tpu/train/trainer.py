@@ -382,13 +382,16 @@ class SageTrainer:
         ]
         h = jnp.asarray(np.concatenate(chunks, axis=0)[:n])
 
+        # edge arrays must be ARGUMENTS, not closure captures — jit bakes
+        # captured arrays into the program as constants (60M-edge graphs
+        # blow up the compile payload)
         fwd = jax.jit(
-            lambda v, h, li: self.model.apply(
-                v, h, src_d, dst_d, in_deg, n, li,
+            lambda v, h, s, d, deg, li: self.model.apply(
+                v, h, s, d, deg, n, li,
                 chunk=cfg.edge_chunk, method=SAGE.forward_full),
-            static_argnums=(2,))
+            static_argnums=(5,))
         for li in range(cfg.num_layers):
-            h = fwd(self.variables, h, li)
+            h = fwd(self.variables, h, src_d, dst_d, in_deg, li)
         return np.asarray(h)
 
     def evaluate(self) -> Dict[str, float]:
