@@ -177,8 +177,10 @@ namespace part {
 struct Graph {
   std::vector<int64_t> indptr;
   std::vector<int32_t> indices;
+  std::vector<int32_t> ewgt;  // edge weights (multi-edge multiplicity)
   std::vector<int32_t> vwgt;  // coarse node weights (collapsed count)
   int64_t n() const { return static_cast<int64_t>(indptr.size()) - 1; }
+  inline int32_t ew(int64_t j) const { return ewgt.empty() ? 1 : ewgt[j]; }
 };
 
 Graph coarsen(const Graph& g, std::vector<int32_t>& cmap, uint64_t seed) {
@@ -193,10 +195,14 @@ Graph coarsen(const Graph& g, std::vector<int32_t>& cmap, uint64_t seed) {
   int32_t nxt = 0;
   for (int32_t u : order) {
     if (cmap[u] != -1) continue;
-    int32_t mate = u;
+    int32_t mate = u;  // heavy-edge matching: heaviest unmatched neighbor
+    int32_t best_w = -1;
     for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j) {
       int32_t v = g.indices[j];
-      if (cmap[v] == -1 && v != u) { mate = v; break; }
+      if (cmap[v] == -1 && v != u && g.ew(j) > best_w) {
+        mate = v;
+        best_w = g.ew(j);
+      }
     }
     cmap[u] = nxt;
     if (mate != u) cmap[mate] = nxt;
@@ -206,12 +212,12 @@ Graph coarsen(const Graph& g, std::vector<int32_t>& cmap, uint64_t seed) {
   Graph cg;
   cg.vwgt.assign(nxt, 0);
   for (int64_t u = 0; u < n; ++u) cg.vwgt[cmap[u]] += g.vwgt.empty() ? 1 : g.vwgt[u];
-  std::vector<std::vector<int32_t>> adj(nxt);
+  std::vector<std::vector<std::pair<int32_t, int32_t>>> adj(nxt);  // (nbr, w)
   for (int64_t u = 0; u < n; ++u) {
     int32_t cu = cmap[u];
     for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j) {
       int32_t cv = cmap[g.indices[j]];
-      if (cu != cv) adj[cu].push_back(cv);
+      if (cu != cv) adj[cu].push_back({cv, g.ew(j)});
     }
   }
   cg.indptr.resize(nxt + 1);
@@ -220,13 +226,25 @@ Graph coarsen(const Graph& g, std::vector<int32_t>& cmap, uint64_t seed) {
   for (int32_t v = 0; v < nxt; ++v) {
     auto& a = adj[v];
     std::sort(a.begin(), a.end());
-    a.erase(std::unique(a.begin(), a.end()), a.end());
+    // merge parallel edges, summing weights
+    size_t w = 0;
+    for (size_t r = 0; r < a.size();) {
+      int32_t nbr = a[r].first;
+      int32_t sum = 0;
+      while (r < a.size() && a[r].first == nbr) sum += a[r++].second;
+      a[w++] = {nbr, sum};
+    }
+    a.resize(w);
     tot += static_cast<int64_t>(a.size());
     cg.indptr[v + 1] = tot;
   }
   cg.indices.resize(tot);
+  cg.ewgt.resize(tot);
   for (int32_t v = 0; v < nxt; ++v)
-    std::copy(adj[v].begin(), adj[v].end(), cg.indices.begin() + cg.indptr[v]);
+    for (size_t r = 0; r < adj[v].size(); ++r) {
+      cg.indices[cg.indptr[v] + r] = adj[v][r].first;
+      cg.ewgt[cg.indptr[v] + r] = adj[v][r].second;
+    }
   return cg;
 }
 
@@ -290,14 +308,14 @@ void refine(const Graph& g, int32_t k, std::vector<int32_t>& part, int passes) {
   for (auto s : size) total_w += s;
   const int64_t cap = total_w / k + total_w / (4 * k) + 1;  // 1.25x balance
 
-  std::vector<int32_t> gain(k);
+  std::vector<int64_t> gain(k);
   for (int pass = 0; pass < passes; ++pass) {
     int64_t moved = 0;
     for (int64_t u = 0; u < n; ++u) {
       const int32_t pu = part[u];
       std::fill(gain.begin(), gain.end(), 0);
       for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j)
-        ++gain[part[g.indices[j]]];
+        gain[part[g.indices[j]]] += g.ew(j);
       int32_t best = pu;
       for (int32_t p = 0; p < k; ++p)
         if (p != pu && gain[p] > gain[best] && size[p] < cap) best = p;
