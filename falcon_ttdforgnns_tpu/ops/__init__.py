@@ -10,3 +10,12 @@ from .tt_lookup import (
     tt_materialize_rows,
 )
 from . import tt_init
+from .tt_pallas import (
+    tt_lookup_pallas,
+    tt_lookup_pallas_padded,
+    tt_grads_pallas,
+    tt_lookup_fused,
+    tt_fused_sgd_pallas,
+)
+from .tt_lookup import tt_lookup_batched
+from . import cache, segment

@@ -130,8 +130,6 @@ def cache_populate_apply(model, variables: dict, freq=None) -> dict:
     if freq is not None:
         import jax.numpy as jnp
         tt = variables["ttcache"]
-        def inject(leaf):
-            return leaf
         # replace the freq leaf of every CacheMeta in the collection
         from ..ops.cache import CacheMeta
         def walk(tree):
