@@ -1,0 +1,72 @@
+"""Optimizer routing correctness: multi_transform labels actually route
+parameter groups to their transforms (SURVEY §2.2 OptimType semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from falcon_ttdforgnns_tpu.train.optim import (make_optimizer, _label_params,
+                                               rowwise_adagrad)
+
+
+def fake_params():
+    return {
+        "embed": {
+            "tt_core_0": jnp.ones((4, 1, 2, 3)),
+            "tt_core_1": jnp.ones((5, 3, 2, 1)),
+            "cache_weight": jnp.ones((8, 6)),
+        },
+        "conv_0": {"self": {"kernel": jnp.ones((6, 6)), "bias": jnp.ones((6,))}},
+    }
+
+
+def test_labels():
+    labels = _label_params(fake_params())
+    assert labels["embed"]["tt_core_0"] == "tt"
+    assert labels["embed"]["tt_core_1"] == "tt"
+    assert labels["embed"]["cache_weight"] == "cache"
+    assert labels["conv_0"]["self"]["kernel"] == "model"
+
+
+def test_tt_sgd_routing():
+    """tt_optimizer='sgd' => core update is exactly -lr*grad while model
+    params get Adam (different magnitude for same grad)."""
+    params = fake_params()
+    tx = make_optimizer(lr=0.1, tt_optimizer="sgd", plateau=False)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params, value=jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(updates["embed"]["tt_core_0"]),
+                               -0.1, rtol=1e-6)
+    # adam first step ~ -lr * g/(sqrt(g^2)+eps) ~ -lr but not exactly -lr*g
+    adam_up = float(np.asarray(updates["conv_0"]["self"]["kernel"])[0, 0])
+    assert abs(adam_up + 0.1) < 0.05 and adam_up != -0.1
+
+
+def test_rowwise_adagrad_semantics():
+    tx = rowwise_adagrad(lr=1.0)
+    p = {"w": jnp.ones((4, 8))}
+    st = tx.init(p)
+    g = {"w": jnp.full((4, 8), 2.0)}
+    up, st = tx.update(g, st, p)
+    # acc = mean(4) = 4 per row; update = -1/sqrt(4) * 2 = -1
+    np.testing.assert_allclose(np.asarray(up["w"]), -1.0, rtol=1e-5)
+    up2, st = tx.update(g, st, p)
+    # acc = 8; update = -2/sqrt(8)
+    np.testing.assert_allclose(np.asarray(up2["w"]), -2 / np.sqrt(8), rtol=1e-5)
+
+
+def test_plateau_reduces_lr():
+    """Constant loss for > patience steps halves the effective step."""
+    params = {"w": jnp.ones((3,))}
+    tx = make_optimizer(lr=0.1, tt_optimizer="sgd", plateau=True,
+                        plateau_patience=3, plateau_factor=0.5)
+    state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    scales = []
+    for i in range(10):
+        up, state = tx.update(g, state, params, value=jnp.float32(1.0))
+        scales.append(float(np.asarray(up["w"])[0]))
+    assert scales[-1] > scales[0]  # updates are negative; shrunk magnitude
+    assert abs(scales[-1]) < abs(scales[0])
