@@ -108,6 +108,32 @@ def main(argv=None):
         with M.profile_trace(args.profile_dir if args.profile else None):
             result = trainer.fit()
         logger.info(f"best: {result['best']}")
+        if args.save_pred and not args.skip_eval:
+            # per-node prediction dump (`sage_dgl_partition.py:373-374`)
+            import numpy as _np
+            logits = trainer.infer_full() if hasattr(trainer, "infer_full") else None
+            if logits is not None:
+                _np.savez(f"{args.ckpt_dir}/pred_{args.model}_{args.dataset}.npz",
+                          pred=logits.argmax(-1), logits=logits)
+                logger.info("saved predictions")
+        if args.store_emb and args.use_tt:
+            # final embedding-table dump (`gcn_gat_partition.py:341-344`),
+            # chunk-materialized via TT
+            import numpy as _np
+            import jax.numpy as _jnp
+            from .graph.sampler import full_neighbor_chunks as _chunks
+            from .models.sage import SAGE as _SAGE
+            import jax as _jax
+            mat = _jax.jit(lambda v, ids: trainer.model.apply(
+                v, ids, method=type(trainer.model).materialize_features))
+            rows = [
+                _np.asarray(mat(trainer.variables, _jnp.asarray(ids)))
+                for ids in _chunks(ds.num_nodes, 65536)
+            ]
+            emb = _np.concatenate(rows, axis=0)[: ds.num_nodes]
+            _np.save(f"{args.ckpt_dir}/emb_{args.init}_tt{args.tt_rank[0]}"
+                     f"_part{args.partition}.npy", emb)
+            logger.info("stored embedding table")
         logger.info(f"embed params MB: "
                     f"{M.model_size_mb(trainer.variables['params'].get('embed', {})):.2f}")
         if args.save_model:
