@@ -109,3 +109,38 @@ class TestFullGraphModels:
         np.testing.assert_allclose(np.asarray(out)[has_in],
                                    np.tile(np.asarray(proj), (has_in.sum(), 1)),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestMultiStepPacking:
+    def test_pack_group_roundtrip(self, tiny_ds):
+        from falcon_ttdforgnns_tpu.train import SageTrainer, TrainConfig
+        cfg = TrainConfig(batch_size=32, fanouts=(3, 4), epochs=1,
+                          hidden_dim=16, num_layers=2, use_tt=True,
+                          tt_ranks=(4, 4), weight_dist="normal",
+                          steps_per_call=3, eval_every=10**9, log_every=10**9)
+        tr = SageTrainer(tiny_ds, cfg)
+        group = next(iter(tr._grouped_batches()))
+        assert len(group) == 3
+        packed = tr._pack_group(group)
+        widths = tr._layer_widths()
+        assert packed.shape == (3, 32, 2 + sum(widths))
+        for s, b in enumerate(group):
+            np.testing.assert_array_equal(packed[s, :, 0], b.seeds)
+            np.testing.assert_array_equal(packed[s, :, 1], b.labels)
+            off = 2
+            for li, w in enumerate(widths):
+                np.testing.assert_array_equal(packed[s, :, off:off + w],
+                                              b.layers[li])
+                off += w
+
+    def test_grouped_batches_pad_tail(self, tiny_ds):
+        from falcon_ttdforgnns_tpu.train import SageTrainer, TrainConfig
+        cfg = TrainConfig(batch_size=64, fanouts=(3, 3), epochs=1,
+                          hidden_dim=16, num_layers=2, use_tt=True,
+                          tt_ranks=(4, 4), weight_dist="normal",
+                          steps_per_call=4, eval_every=10**9, log_every=10**9)
+        tr = SageTrainer(tiny_ds, cfg)
+        groups = list(tr._grouped_batches())
+        # 360 train nodes / 64 = 5 batches -> groups of 4: [4, 4(padded)]
+        assert all(len(g) == 4 for g in groups)
+        assert len(groups) == 2
