@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.layers import SAGEConv
-from ..nn.tt_embedding import TTEmbeddingBag, DenseEmbedding, AccessCountingEmbedding
+from ..nn.tt_embedding import (TTEmbeddingBag, DenseEmbedding,
+                               AccessCountingEmbedding, FixedFeatureEmbedding)
 from ..ops.segment import spmm_mean
 
 
@@ -28,8 +29,12 @@ def make_embed_layer(num_nodes: int, feat_dim: int, use_tt: bool = True,
                      weight_dist: str = "approx-normal",
                      cache_size: int = 0,
                      access_counts: bool = False,
-                     precomputed_cores=None) -> nn.Module:
-    """Embedding layer selection, parity with `gnn_model.py:107-190`."""
+                     precomputed_cores=None,
+                     fixed_features=None) -> nn.Module:
+    """Embedding layer selection, parity with `gnn_model.py:107-190`
+    (+ the DDP driver's real-feature path, `sage_dgl_partition.py:174`)."""
+    if fixed_features is not None:
+        return FixedFeatureEmbedding(fixed_features, name="embed")
     if use_tt:
         return TTEmbeddingBag(
             num_embeddings=num_nodes, embedding_dim=feat_dim,

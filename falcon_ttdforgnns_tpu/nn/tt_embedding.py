@@ -252,3 +252,29 @@ class TableBatchedTTEmbeddingBag(nn.Module):
             q_shapes=self.q_shapes,
             weight_dist=self.weight_dist,
             name="tables")(indices, offsets)
+
+
+class FixedFeatureEmbedding(nn.Module):
+    """Non-trainable feature lookup — the reference's DDP path trains on
+    real prefetched node features rather than learned embeddings
+    (`sage_dgl_partition.py:141-176` prefetch_node_feats); features live in
+    a frozen 'constants' collection (HBM-resident, excluded from grads)."""
+
+    features: np.ndarray  # (N, D) host array captured at construction
+
+    @nn.compact
+    def __call__(self, indices: jax.Array, offsets: Optional[jax.Array] = None,
+                 count_accesses: bool = True) -> jax.Array:
+        feats = self.variable("constants", "feats",
+                              lambda: jnp.asarray(self.features, jnp.float32))
+        rows = jnp.take(feats.value, indices, axis=0)
+        if offsets is not None:
+            num_bags = offsets.shape[0] - 1
+            positions = jnp.arange(indices.shape[0], dtype=jnp.int32)
+            rowidx = jnp.searchsorted(offsets[1:-1].astype(jnp.int32),
+                                      positions, "right")
+            rows = jax.ops.segment_sum(rows, rowidx, num_segments=num_bags)
+        return rows
+
+    def full_weight(self) -> jax.Array:
+        return self.variables["constants"]["feats"]

@@ -144,3 +144,17 @@ class TestMultiStepPacking:
         # 360 train nodes / 64 = 5 batches -> groups of 4: [4, 4(padded)]
         assert all(len(g) == 4 for g in groups)
         assert len(groups) == 2
+
+
+def test_fixed_feature_embedding(tiny_ds):
+    """Real-feature (no learned embedding) path — the reference DDP driver
+    trains on prefetched features (`sage_dgl_partition.py:174-176`)."""
+    from falcon_ttdforgnns_tpu.nn.tt_embedding import FixedFeatureEmbedding
+    feats = np.random.default_rng(0).normal(
+        size=(tiny_ds.num_nodes, 24)).astype(np.float32)
+    m = FixedFeatureEmbedding(feats)
+    idx = jnp.asarray([3, 7, 3])
+    vs = m.init(jax.random.PRNGKey(0), idx)
+    out = m.apply(vs, idx)
+    np.testing.assert_allclose(np.asarray(out), feats[[3, 7, 3]], rtol=1e-6)
+    assert "params" not in vs  # nothing trainable
