@@ -38,6 +38,33 @@ from .tt_shapes import TTShapes
 Cores = Tuple[jax.Array, ...]
 
 
+def _kernel2(shapes: TTShapes, block: int, compute_dtype,
+             idx_ref, c0_ref, c1_ref, out_ref):
+    """2-core variant: out[b] = c0[i1] (q1, r1) @ c1[i2] (r1, q2)."""
+    p1, p2 = shapes.p_shapes
+    q1, q2 = shapes.q_shapes
+    (r1,) = shapes.ranks
+    s1, _ = shapes.strides
+
+    idx = idx_ref[:]
+    i1 = idx // s1
+    i2 = idx % p2
+
+    def onehot_t(d, p):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (p, block), 0)
+        return (rows == d[None, :]).astype(compute_dtype)
+
+    gT = jnp.dot(c0_ref[:], onehot_t(i1, p1),
+                 preferred_element_type=jnp.float32)      # (q1*r1, block)
+    c1rT = jnp.dot(c1_ref[:], onehot_t(i2, p2),
+                   preferred_element_type=jnp.float32)    # (r1*q2, block)
+    for q in range(q1):
+        seg = gT[q * r1, :][None, :] * c1rT[0:q2, :]
+        for r in range(1, r1):
+            seg = seg + gT[q * r1 + r, :][None, :] * c1rT[r * q2:(r + 1) * q2, :]
+        out_ref[q * q2:(q + 1) * q2, :] = seg
+
+
 def _kernel(shapes: TTShapes, block: int, compute_dtype,
             idx_ref, c0_ref, c1_ref, c2_ref, out_ref):
     p1, p2, p3 = shapes.p_shapes
@@ -91,12 +118,41 @@ def tt_lookup_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
     ``interpret`` defaults to True off-TPU (tests on CPU)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if shapes.ndim != 3:
-        raise ValueError("pallas kernel supports 3-core TT (use the XLA path)")
+    if shapes.ndim not in (2, 3):
+        raise ValueError("pallas kernel supports 2/3-core TT (use the XLA path)")
     B = indices.shape[0]
     if B % block != 0:
         raise ValueError(f"B={B} must be a multiple of block={block}")
     n_blocks = B // block
+
+    idx1 = indices.astype(jnp.int32)
+    common = dict(
+        grid=(n_blocks,),
+        out_specs=pl.BlockSpec((shapes.embedding_dim, block),
+                               lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((shapes.embedding_dim, B), jnp.float32),
+        interpret=interpret,
+    )
+    if shapes.ndim == 2:
+        p1, p2 = shapes.p_shapes
+        q1, q2 = shapes.q_shapes
+        (r1,) = shapes.ranks
+        c0 = cores[0].reshape(p1, q1 * r1).T.astype(compute_dtype)
+        c1 = cores[1].reshape(p2, r1 * q2).T.astype(compute_dtype)
+        outT = pl.pallas_call(
+            functools.partial(_kernel2, shapes, block, compute_dtype),
+            in_specs=[
+                pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * (p1 * q1 * r1 + p2 * r1 * q2 + q1 * r1 * q2),
+                bytes_accessed=B * 4 + B * shapes.embedding_dim * 4,
+                transcendentals=0),
+            **common,
+        )(idx1, c0, c1)
+        return outT.T
 
     p1, p2, p3 = shapes.p_shapes
     q1, q2, q3 = shapes.q_shapes
@@ -106,28 +162,22 @@ def tt_lookup_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
     c1 = cores[1].reshape(p2, r1 * q2 * r2).T.astype(compute_dtype)
     c2 = cores[2].reshape(p3, r2 * q3).T.astype(compute_dtype)
 
-    idx1 = indices.astype(jnp.int32)
-
     kernel = functools.partial(_kernel, shapes, block, compute_dtype)
     flops = 2 * B * (p1 * q1 * r1 + p2 * r1 * q2 * r2 + p3 * r2 * q3
                      + q1 * r1 * q2 * r2 + q1 * q2 * r2 * q3)
     outT = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # c0T resident
             pl.BlockSpec(memory_space=pltpu.VMEM),   # c1T resident
             pl.BlockSpec(memory_space=pltpu.VMEM),   # c2T resident
         ],
-        out_specs=pl.BlockSpec((shapes.embedding_dim, block),
-                               lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((shapes.embedding_dim, B), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=B * 4 + B * shapes.embedding_dim * 4,
             transcendentals=0),
-        interpret=interpret,
+        **common,
     )(idx1, c0, c1, c2)
     return outT.T
 

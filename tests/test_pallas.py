@@ -54,8 +54,8 @@ def test_products_config_shapes():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_rejects_non3core(case):
-    shapes = TTShapes(256, 64, (16, 16), (8, 8), (8,))
+def test_rejects_4core(case):
+    shapes = TTShapes(256, 16, (4, 4, 4, 4), (2, 2, 2, 2), (4, 4, 4))
     cores = tuple(jnp.asarray(c) for c in tt_init.init_tt_cores(shapes, "normal", 0))
     with pytest.raises(ValueError):
         tt_lookup_pallas(shapes, cores, jnp.zeros(128, jnp.int32))
@@ -76,3 +76,14 @@ def test_fused_sgd_matches_manual(case):
     for nc, c, gr in zip(new, cores, grads):
         np.testing.assert_allclose(np.asarray(nc), np.asarray(c - lr * gr),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_two_core_kernel():
+    shapes = TTShapes(256, 64, (16, 16), (8, 8), (12,))
+    cores = tuple(jnp.asarray(c) for c in tt_init.init_tt_cores(shapes, "normal", 0))
+    idx = jnp.asarray(np.random.default_rng(5).integers(0, 256, 384).astype(np.int32))
+    ref = tt_lookup_gather(shapes, cores, idx)
+    out = tt_lookup_pallas(shapes, cores, idx, block=128,
+                           compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
