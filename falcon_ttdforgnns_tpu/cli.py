@@ -46,7 +46,7 @@ def main(argv=None):
     logger.info(f"dataset {ds.name}: {ds.num_nodes} nodes, "
                 f"{ds.graph.num_edges} edges ({time.time() - t0:.1f}s)")
 
-    if args.partition != 0 or args.partition == 0 and False:
+    if args.partition != 0:
         t0 = time.time()
         perm = reorder_permutation(ds.graph, args.partition,
                                    levels=args.p_shapes, seed=args.seed)

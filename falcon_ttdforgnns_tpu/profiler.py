@@ -71,8 +71,10 @@ class TTEmbeddingBenchmark:
             rng.integers(0, self.shapes.num_embeddings, batch_size).astype(np.int32))
 
     def _time(self, fn, *args, warmup: int = 10, reps: int = 50) -> float:
-        """Chained device-side timing: K dependent iterations per readback
-        so async dispatch / transfer latency can't fake the number."""
+        """Warmup + repeated timing with a single trailing block (the
+        reference's gpu_timing shape, `utils.py:196-220`).  NOTE: on
+        remote-attached TPUs prefer a chained fori_loop measurement
+        (see bench.py) — async dispatch can under-report here."""
         out = fn(*args)
         jax.block_until_ready(out)
         for _ in range(warmup):
