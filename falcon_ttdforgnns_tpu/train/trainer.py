@@ -169,7 +169,14 @@ class SageTrainer:
         S = self.cfg.steps_per_call
         widths = self._layer_widths()
 
-        @partial(jax.jit, donate_argnums=(0, 1))
+        # No donation: param/opt trees are a few MB (double-buffering is
+        # free), and on the remote-attached dev TPU a controlled
+        # back-to-back measurement completed 48-step dispatches in ~4 s
+        # without donation while the donating variant showed host-memory
+        # copy stalls in traces.  (Wall-clock through that relay is noisy
+        # — 64-225 s/epoch across identical runs — so this is the simpler
+        # configuration, not a strong perf claim; see docs/PERFORMANCE.md.)
+        @jax.jit
         def multi_step(variables, opt_state, packed, rng):
             def body(i, carry):
                 variables, opt_state, loss_sum, acc_sum = carry
