@@ -70,7 +70,9 @@ def main(argv=None):
                     "approx-uniform") else "approx-normal",
                 cache_size=args.cache_size if args.use_cached else 0,
                 tt_optimizer="sgd" if args.sparse else "adam",
-                eval_every=args.eval_every, log_every=args.log_every,
+                access_counts=args.access_counts and not args.use_tt,
+                eval_every=10**9 if args.skip_eval else args.eval_every,
+                log_every=args.log_every,
                 seed=args.seed, dist=args.dist, num_chips=args.num_chips)
             trainer = SageTrainer(ds, cfg, logger=logger,
                                   precomputed_cores=precomputed)
@@ -134,6 +136,15 @@ def main(argv=None):
             _np.save(f"{args.ckpt_dir}/emb_{args.init}_tt{args.tt_rank[0]}"
                      f"_part{args.partition}.npy", emb)
             logger.info("stored embedding table")
+        if args.access_counts or args.plot:
+            stats = trainer.access_count_stats() if hasattr(
+                trainer, "access_count_stats") else None
+            if stats:
+                logger.info(f"access skew (top-x%% of rows -> %% of accesses): "
+                            f"{stats['percentages']}")
+                if args.plot:
+                    M.plot_access_cdf(stats["counts"],
+                                      f"{args.log_dir}/access_cdf.png")
         logger.info(f"embed params MB: "
                     f"{M.model_size_mb(trainer.variables['params'].get('embed', {})):.2f}")
         if args.save_model:

@@ -52,6 +52,7 @@ class TrainConfig:
     seed: int = 0
     inference_chunk: int = 65536
     edge_chunk: int = 1 << 22
+    access_counts: bool = False  # LoggingEmbedding analytics (no-TT mode)
     dist: bool = False          # data-parallel over the device mesh
     num_chips: int = -1         # -1 = all devices
     # Device-resident multi-step: stack S sampled batches host-side and run
@@ -82,6 +83,7 @@ class SageTrainer:
             q_shapes=cfg.q_shapes,
             weight_dist=cfg.weight_dist,
             cache_size=cfg.cache_size,
+            access_counts=cfg.access_counts,
             precomputed_cores=precomputed_cores,
         )
         self.tx = make_optimizer(
@@ -430,6 +432,23 @@ class SageTrainer:
                 self.logger.info(f"epoch {epoch}: {stats}")
         return {"history": history, "best": best, "metrics": self._metrics}
 
+
+    def access_count_stats(self):
+        """Per-row access counters + skew summary when access counting is
+        on (`LoggingEmbedding` analytics, `sage_dgl_partition.py:350-357`).
+        With the default host-tracked frequencies, uses the loader's LFU
+        counters instead."""
+        from ..utils import metrics as M
+        counts = None
+        ac = self.variables.get("access_counts")
+        if ac is not None:
+            counts = np.asarray(jax.tree.leaves(ac)[0])
+        elif getattr(self.loader, "freq", None) is not None:
+            counts = np.asarray(self.loader.freq)
+        if counts is None:
+            return None
+        return {"counts": counts,
+                "percentages": M.access_percentages(counts)}
 
     # ------------------------------------------------------------------
     # checkpoint / resume (the reference only saved state dicts,
