@@ -71,7 +71,8 @@ def main(argv=None):
                 cache_size=args.cache_size if args.use_cached else 0,
                 tt_optimizer="sgd" if args.sparse else "adam",
                 access_counts=args.access_counts and not args.use_tt,
-                eval_every=10**9 if args.skip_eval else args.eval_every,
+                skip_eval=args.skip_eval,
+                eval_every=args.eval_every,
                 log_every=args.log_every,
                 seed=args.seed, dist=args.dist, num_chips=args.num_chips)
             trainer = SageTrainer(ds, cfg, logger=logger,

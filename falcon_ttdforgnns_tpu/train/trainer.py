@@ -53,6 +53,7 @@ class TrainConfig:
     inference_chunk: int = 65536
     edge_chunk: int = 1 << 22
     access_counts: bool = False  # LoggingEmbedding analytics (no-TT mode)
+    skip_eval: bool = False      # skip evaluation entirely (--skip-eval)
     dist: bool = False          # data-parallel over the device mesh
     num_chips: int = -1         # -1 = all devices
     # Device-resident multi-step: stack S sampled batches host-side and run
@@ -422,7 +423,8 @@ class SageTrainer:
             stats = self.train_epoch(epoch)
             if epoch == 0:
                 self.maybe_populate_cache()
-            if (epoch + 1) % cfg.eval_every == 0 or epoch == epochs - 1:
+            if not cfg.skip_eval and (
+                    (epoch + 1) % cfg.eval_every == 0 or epoch == epochs - 1):
                 stats.update(self.evaluate())
                 if stats.get("val_acc", 0) >= best["val_acc"]:
                     best = {"val_acc": stats["val_acc"],
