@@ -34,6 +34,15 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    if args.multihost:
+        # DCN-spanning multi-host bootstrap (SURVEY §2.4 TPU-native DDP
+        # analog of `dist.init_process_group`, sage_dgl_partition.py:203)
+        from .parallel.mesh import init_multihost
+        init_multihost(logger=logger)
+
+    if args.emb_name == "dense":
+        args.use_tt = False
+
     from .graph import get_dataset, reorder_permutation
     from .train import (SageTrainer, TrainConfig, FullGraphTrainer,
                         FullGraphConfig)
@@ -46,13 +55,15 @@ def main(argv=None):
     logger.info(f"dataset {ds.name}: {ds.num_nodes} nodes, "
                 f"{ds.graph.num_edges} edges ({time.time() - t0:.1f}s)")
 
-    if args.partition != 0:
-        t0 = time.time()
-        perm = reorder_permutation(ds.graph, args.partition,
-                                   levels=args.p_shapes, seed=args.seed)
-        if perm is not None:
-            ds = ds.permute(perm)
-            logger.info(f"reorder partition={args.partition}: {time.time() - t0:.1f}s")
+    # partition semantics mirror `graphloader.py:399-454` exactly — the
+    # default 0 RANDOM-PERMUTES node ids (the reference's baseline), >0 is
+    # METIS-k, -1 multilevel, -2 RCMK, -3 degree, -4 louvain.
+    t0 = time.time()
+    perm = reorder_permutation(ds.graph, args.partition,
+                               levels=args.p_shapes, seed=args.seed)
+    if perm is not None:
+        ds = ds.permute(perm)
+        logger.info(f"reorder partition={args.partition}: {time.time() - t0:.1f}s")
 
     precomputed = _maybe_init_cores(args, ds, logger)
 
@@ -70,6 +81,14 @@ def main(argv=None):
                     "approx-uniform") else "approx-normal",
                 cache_size=args.cache_size if args.use_cached else 0,
                 tt_optimizer="sgd" if args.sparse else "adam",
+                sparse=args.sparse,
+                batch_count=args.batch_count,
+                mode=args.mode,
+                num_workers=args.num_workers,
+                use_sample=args.use_sample,
+                grouped=(args.emb_name == "eff"),
+                node_shard=args.node_shard,
+                steps_per_call=args.steps_per_call,
                 access_counts=args.access_counts and not args.use_tt,
                 skip_eval=args.skip_eval,
                 eval_every=args.eval_every,

@@ -99,7 +99,7 @@ class NeighborLoader:
 
     def __init__(self, graph: CSRGraph, seed_nodes: np.ndarray, labels: np.ndarray,
                  fanouts: Sequence[int], batch_size: int, shuffle: bool = True,
-                 seed: int = 0, track_freq: bool = True):
+                 seed: int = 0, track_freq: bool = True, num_workers: int = 1):
         self.graph = graph
         self.seed_nodes = np.asarray(seed_nodes, dtype=np.int64)
         self.labels = labels
@@ -107,6 +107,10 @@ class NeighborLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
+        # `--num-workers` parity (`graphloader.py:261` CPU sampler workers):
+        # batches are sampled by a thread pool (numpy/native sampling
+        # releases the GIL) and yielded in order.
+        self.num_workers = max(1, int(num_workers))
         # Host-side LFU accounting (`update_cache_state_cuda` analog,
         # cu:1083-1119): the sampler already touches every id, so counting
         # here is ~free and keeps the device hot loop scatter-free.
@@ -116,20 +120,47 @@ class NeighborLoader:
     def __len__(self) -> int:
         return max(1, len(self.seed_nodes) // self.batch_size)
 
+    def _batch_seeds(self, order: np.ndarray, b: int) -> np.ndarray:
+        pick = order[b * self.batch_size:(b + 1) * self.batch_size]
+        if len(pick) < self.batch_size:  # wrap the ragged tail
+            pick = np.concatenate([pick, order[: self.batch_size - len(pick)]])
+        return self.seed_nodes[pick]
+
+    def _make_batch(self, seeds: np.ndarray, rng: np.random.Generator) -> SampledBatch:
+        batch = sample_block(self.graph, seeds, self.fanouts, rng)
+        batch.labels = self.labels[seeds].astype(np.int32)
+        return batch
+
     def __iter__(self) -> Iterator[SampledBatch]:
         order = self.rng.permutation(len(self.seed_nodes)) if self.shuffle \
             else np.arange(len(self.seed_nodes))
         n_batches = len(self)
-        for b in range(n_batches):
-            pick = order[b * self.batch_size:(b + 1) * self.batch_size]
-            if len(pick) < self.batch_size:  # wrap the ragged tail
-                pick = np.concatenate([pick, order[: self.batch_size - len(pick)]])
-            seeds = self.seed_nodes[pick]
-            batch = sample_block(self.graph, seeds, self.fanouts, self.rng)
-            batch.labels = self.labels[seeds].astype(np.int32)
-            if self.track_freq:
-                np.add.at(self.freq, batch.all_nodes, 1)
-            yield batch
+        if self.num_workers <= 1:
+            for b in range(n_batches):
+                batch = self._make_batch(self._batch_seeds(order, b), self.rng)
+                if self.track_freq:
+                    np.add.at(self.freq, batch.all_nodes, 1)
+                yield batch
+            return
+        # parallel: per-batch child rngs keep determinism regardless of
+        # completion order; freq update stays in the consuming thread.
+        import concurrent.futures as _cf
+        from collections import deque
+        child = self.rng.spawn(n_batches)
+        with _cf.ThreadPoolExecutor(self.num_workers) as pool:
+            pending: deque = deque()
+            depth = self.num_workers + 2
+            b_next = 0
+            while b_next < n_batches or pending:
+                while b_next < n_batches and len(pending) < depth:
+                    pending.append(pool.submit(
+                        self._make_batch, self._batch_seeds(order, b_next),
+                        child[b_next]))
+                    b_next += 1
+                batch = pending.popleft().result()
+                if self.track_freq:
+                    np.add.at(self.freq, batch.all_nodes, 1)
+                yield batch
 
 
 def full_neighbor_chunks(num_nodes: int, chunk_size: int) -> Iterator[np.ndarray]:

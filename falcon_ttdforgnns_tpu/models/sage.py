@@ -30,9 +30,13 @@ def make_embed_layer(num_nodes: int, feat_dim: int, use_tt: bool = True,
                      cache_size: int = 0,
                      access_counts: bool = False,
                      precomputed_cores=None,
-                     fixed_features=None) -> nn.Module:
+                     fixed_features=None,
+                     batch_count: int = 131072,
+                     grouped: bool = False) -> nn.Module:
     """Embedding layer selection, parity with `gnn_model.py:107-190`
-    (+ the DDP driver's real-feature path, `sage_dgl_partition.py:174`)."""
+    (+ the DDP driver's real-feature path, `sage_dgl_partition.py:174`).
+    ``batch_count`` is the lookup chunk / VMEM-budget knob (cu:1027 analog);
+    ``grouped`` opts into the Efficient_TT prefix-dedup lookup."""
     if fixed_features is not None:
         return FixedFeatureEmbedding(fixed_features, name="embed")
     if use_tt:
@@ -42,10 +46,22 @@ def make_embed_layer(num_nodes: int, feat_dim: int, use_tt: bool = True,
             p_shapes=tuple(p_shapes) if p_shapes else None,
             q_shapes=tuple(q_shapes) if q_shapes else None,
             weight_dist=weight_dist, cache_size=cache_size,
-            precomputed_cores=precomputed_cores, name="embed")
+            precomputed_cores=precomputed_cores,
+            batch_count=batch_count, grouped=grouped, name="embed")
     if access_counts:
         return AccessCountingEmbedding(num_nodes, feat_dim, name="embed")
     return DenseEmbedding(num_nodes, feat_dim, name="embed")
+
+
+def collect_level_ids(seeds: jax.Array, layers: Sequence[jax.Array]):
+    """Flattened node ids over every fanout level, plus the per-level widths
+    — the single-lookup contract of SAGE.__call__ (duplicates included; they
+    are exactly what TT dedup and the hot-row cache exploit)."""
+    B = seeds.shape[0]
+    levels = [seeds.reshape(B, 1)] + [l.reshape(B, -1) for l in layers]
+    sizes = [lv.shape[1] for lv in levels]
+    all_ids = jnp.concatenate([lv.reshape(-1) for lv in levels])
+    return all_ids, sizes, B
 
 
 class SAGE(nn.Module):
@@ -67,12 +83,15 @@ class SAGE(nn.Module):
     cache_size: int = 0
     access_counts: bool = False
     precomputed_cores: Optional[tuple] = None
+    batch_count: int = 131072   # TT lookup chunk size (--batch-count)
+    grouped: bool = False       # Efficient_TT prefix-dedup lookup (--emb-name eff)
 
     def setup(self):
         self.embed_layer = make_embed_layer(
             self.num_nodes, self.in_dim, self.use_tt, self.tt_ranks,
             self.p_shapes, self.q_shapes, self.weight_dist, self.cache_size,
-            self.access_counts, self.precomputed_cores)
+            self.access_counts, self.precomputed_cores,
+            batch_count=self.batch_count, grouped=self.grouped)
         dims = [self.hidden_dim] * (self.num_layers - 1) + [self.num_classes]
         self.convs = [SAGEConv(d, name=f"conv_{i}") for i, d in enumerate(dims)]
         self.dropout_layer = nn.Dropout(self.dropout)
@@ -91,16 +110,21 @@ class SAGE(nn.Module):
         the reference's single lookup over block input nodes
         (`gnn_model.py:196-204`).
         """
-        B = seeds.shape[0]
-        levels: List[jax.Array] = [seeds.reshape(B, 1)] + [l.reshape(B, -1) for l in layers]
-        sizes = [lv.shape[1] for lv in levels]
-        all_ids = jnp.concatenate([lv.reshape(-1) for lv in levels])
+        all_ids, sizes, B = collect_level_ids(seeds, layers)
         h_all = self.embed_layer(all_ids, None, train)
+        hs = self._split_levels(h_all, sizes, B)
+        return self._conv_tower(hs, train)
+
+    def _split_levels(self, h_all: jax.Array, sizes: Sequence[int],
+                      B: int) -> List[jax.Array]:
         hs, off = [], 0
         for sz in sizes:
             hs.append(h_all[off:off + sz * B].reshape(B, sz, self.in_dim))
             off += sz * B
+        return hs
 
+    def _conv_tower(self, hs: List[jax.Array], train: bool) -> jax.Array:
+        B = hs[0].shape[0]
         for li, conv in enumerate(self.convs):
             new_hs = []
             for lev in range(len(hs) - 1):
@@ -115,17 +139,61 @@ class SAGE(nn.Module):
             hs = new_hs
         return hs[0][:, 0, :]  # (B, num_classes)
 
+    def forward_from_embeddings(self, h_all: jax.Array, seeds: jax.Array,
+                                layers: Sequence[jax.Array],
+                                train: bool = False) -> jax.Array:
+        """Forward with the embedding lookup hoisted out: ``h_all`` is the
+        (sum(levels)*B, in_dim) embedding block for ``collect_level_ids``'s
+        id order.  Used by the fused-sparse train step, which runs the
+        lookup + in-kernel SGD core update outside autograd (the functional
+        analog of `Fused_Efficient_TT_backward_sgd_cuda`, ecu:718-904)."""
+        _, sizes, B = collect_level_ids(seeds, layers)
+        hs = self._split_levels(h_all, sizes, B)
+        return self._conv_tower(hs, train)
+
+    def forward_full_graph(self, src: jax.Array, dst: jax.Array,
+                           in_deg: jax.Array, train: bool = False,
+                           chunk: int = 1 << 22) -> jax.Array:
+        """Full-neighbor TRAINING forward (`--full-neighbor`): exact
+        aggregation over every edge — the TPU-native formulation of the
+        reference's full-neighbor sampler (`graphloader.py:245-251`, README
+        NoTT-FullNeighbor rows).  Instead of per-batch bipartite blocks
+        with dynamic shapes, one differentiable full-graph propagation
+        produces logits for ALL nodes; the caller takes its minibatch rows.
+        Same math (each seed's logit depends on its exact L-hop
+        neighborhood), static shapes, one SpMM per layer instead of one
+        per batch."""
+        ids = jnp.arange(self.num_nodes, dtype=jnp.int32)
+        h = self.embed_layer(ids, None, train)
+        for li, conv in enumerate(self.convs):
+            h_neigh = spmm_mean(h, src, dst, self.num_nodes, in_deg,
+                                chunk=chunk, sorted_dst=True)
+            h = conv(h, h_neigh)
+            if li < self.num_layers - 1:
+                h = nn.relu(h)
+                h = self.dropout_layer(h, deterministic=not train)
+        return h  # (N, num_classes)
+
+    def apply_conv(self, h_dst: jax.Array, h_neigh: jax.Array,
+                   layer_idx: int) -> jax.Array:
+        """One conv layer given pre-aggregated neighbor features — the
+        row-parallel piece of node-sharded layer-wise inference
+        (parallel/node_sharding.py), no communication inside."""
+        h = self.convs[layer_idx](h_dst=h_dst, h_neigh=h_neigh)
+        if layer_idx < self.num_layers - 1:
+            h = nn.relu(h)
+        return h
+
     def forward_full(self, h: jax.Array, src: jax.Array, dst: jax.Array,
                      in_deg: jax.Array, num_nodes: int,
                      layer_idx: int, chunk: int = 1 << 22) -> jax.Array:
         """One conv layer over the full graph (layer-wise inference,
         `gnn_model.py:236-252`).  Called once per layer by the inference
         driver with the previous layer's full (N, D) activations."""
-        h_neigh = spmm_mean(h, src, dst, num_nodes, in_deg, chunk=chunk)
-        h_out = self.convs[layer_idx](h_dst=h, h_neigh=h_neigh)
-        if layer_idx < self.num_layers - 1:
-            h_out = nn.relu(h_out)
-        return h_out
+        # callers pass CSRGraph.to_coo() edges — dst is non-decreasing
+        h_neigh = spmm_mean(h, src, dst, num_nodes, in_deg, chunk=chunk,
+                            sorted_dst=True)
+        return self.apply_conv(h, h_neigh, layer_idx)
 
     def materialize_features(self, node_ids: jax.Array) -> jax.Array:
         """Chunk of the full feature table via TT reconstruction

@@ -22,10 +22,13 @@ import jax.numpy as jnp
 
 def spmm_sum(h: jax.Array, src: jax.Array, dst: jax.Array, num_nodes: int,
              edge_weight: Optional[jax.Array] = None,
-             sorted_dst: bool = True) -> jax.Array:
+             sorted_dst: bool = False) -> jax.Array:
     """out[v] = sum_{(u->v)} w_e * h[u] — one-shot (small graphs).
-    ``sorted_dst=True`` (the CSRGraph.to_coo guarantee) lets XLA lower the
-    segment reduction without scatter conflicts."""
+
+    ``sorted_dst=True`` is a contract, not a hint (XLA may produce garbage
+    for unsorted indices under ``indices_are_sorted``): pass it only when
+    dst is non-decreasing (the CSRGraph.to_coo guarantee).  Defaults to
+    False so an unsorted caller degrades to correct-but-slower."""
     msgs = jnp.take(h, src, axis=0)
     if edge_weight is not None:
         msgs = msgs * edge_weight[:, None]
@@ -35,20 +38,19 @@ def spmm_sum(h: jax.Array, src: jax.Array, dst: jax.Array, num_nodes: int,
 
 def spmm_sum_chunked(h: jax.Array, src: jax.Array, dst: jax.Array, num_nodes: int,
                      edge_weight: Optional[jax.Array] = None,
-                     chunk: int = 1 << 22) -> jax.Array:
+                     chunk: int = 1 << 22,
+                     sorted_dst: bool = False) -> jax.Array:
     """Edge-chunked SpMM: scan over fixed-size edge chunks, scatter-add into
-    a resident (N, D) accumulator.  Edges are host-padded to a multiple of
-    ``chunk`` with dst = num_nodes-sentinel? No — padded with (0, 0) edges
-    and zero weight, so padding contributes nothing."""
+    a resident (N, D) accumulator.  Edges are padded with (0, 0) edges and
+    zero weight, so padding contributes nothing.  ``sorted_dst`` contract as
+    in :func:`spmm_sum` (padding dst with the max id keeps chunks sorted)."""
     E = src.shape[0]
     if E <= chunk:
-        return spmm_sum(h, src, dst, num_nodes, edge_weight)
+        return spmm_sum(h, src, dst, num_nodes, edge_weight, sorted_dst)
     n_chunks = -(-E // chunk)
     pad = n_chunks * chunk - E
     w = edge_weight if edge_weight is not None else jnp.ones((E,), h.dtype)
     src_p = jnp.pad(src, (0, pad)).reshape(n_chunks, chunk)
-    # pad dst with the max id so each chunk stays sorted (indices_are_sorted
-    # below is a correctness contract, not a hint); padded weights are zero
     dst_p = jnp.pad(dst, (0, pad), constant_values=num_nodes - 1
                     ).reshape(n_chunks, chunk)
     w_p = jnp.pad(w, (0, pad)).reshape(n_chunks, chunk)  # zero pad weight
@@ -56,7 +58,7 @@ def spmm_sum_chunked(h: jax.Array, src: jax.Array, dst: jax.Array, num_nodes: in
     def body(acc, args):
         s, d, we = args
         msgs = jnp.take(h, s, axis=0) * we[:, None]
-        return acc.at[d].add(msgs, indices_are_sorted=True), None
+        return acc.at[d].add(msgs, indices_are_sorted=sorted_dst), None
 
     acc0 = jnp.zeros((num_nodes, h.shape[1]), dtype=h.dtype)
     acc, _ = jax.lax.scan(body, acc0, (src_p, dst_p, w_p))
@@ -64,10 +66,12 @@ def spmm_sum_chunked(h: jax.Array, src: jax.Array, dst: jax.Array, num_nodes: in
 
 
 def spmm_mean(h: jax.Array, src: jax.Array, dst: jax.Array, num_nodes: int,
-              in_deg: Optional[jax.Array] = None, chunk: int = 1 << 22) -> jax.Array:
+              in_deg: Optional[jax.Array] = None, chunk: int = 1 << 22,
+              sorted_dst: bool = False) -> jax.Array:
     """Mean aggregation: sum / in-degree (degree computed from dst if not
     given)."""
-    s = spmm_sum_chunked(h, src, dst, num_nodes, chunk=chunk)
+    s = spmm_sum_chunked(h, src, dst, num_nodes, chunk=chunk,
+                         sorted_dst=sorted_dst)
     if in_deg is None:
         in_deg = jax.ops.segment_sum(jnp.ones_like(dst, dtype=h.dtype), dst,
                                      num_segments=num_nodes)
@@ -75,8 +79,10 @@ def spmm_mean(h: jax.Array, src: jax.Array, dst: jax.Array, num_nodes: int,
 
 
 def gcn_norm_spmm(h: jax.Array, src: jax.Array, dst: jax.Array, num_nodes: int,
-                  in_deg: jax.Array, chunk: int = 1 << 22) -> jax.Array:
+                  in_deg: jax.Array, chunk: int = 1 << 22,
+                  sorted_dst: bool = False) -> jax.Array:
     """Symmetric-normalized SpMM: D^{-1/2} A D^{-1/2} h."""
     norm = jax.lax.rsqrt(jnp.maximum(in_deg.astype(h.dtype), 1.0))
-    out = spmm_sum_chunked(h * norm[:, None], src, dst, num_nodes, chunk=chunk)
+    out = spmm_sum_chunked(h * norm[:, None], src, dst, num_nodes, chunk=chunk,
+                           sorted_dst=sorted_dst)
     return out * norm[:, None]

@@ -109,15 +109,24 @@ def _kernel(shapes: TTShapes, block: int, compute_dtype,
             out_ref[d * q3:(d + 1) * q3, :] = seg
 
 
+def _resolve(compute_dtype, interpret):
+    """bf16 MXU compute on real TPUs; f32 in interpret mode (CPU XLA has
+    no bf16xbf16->f32 dot thunk) unless the caller pinned a dtype."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if compute_dtype is None:
+        compute_dtype = jnp.float32 if interpret else jnp.bfloat16
+    return compute_dtype, interpret
+
+
 def tt_lookup_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
                      block: int = 1024,
-                     compute_dtype=jnp.bfloat16,
+                     compute_dtype=None,
                      interpret: Optional[bool] = None) -> jax.Array:
     """Fused forward lookup: (B,) int32 -> (B, D).  B must be a multiple of
     ``block`` (callers pad).  3-core TT only (the shipped config).
     ``interpret`` defaults to True off-TPU (tests on CPU)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    compute_dtype, interpret = _resolve(compute_dtype, interpret)
     if shapes.ndim not in (2, 3):
         raise ValueError("pallas kernel supports 2/3-core TT (use the XLA path)")
     B = indices.shape[0]
@@ -184,7 +193,7 @@ def tt_lookup_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
 
 def tt_lookup_pallas_padded(shapes: TTShapes, cores: Cores,
                             indices: jax.Array, block: int = 1024,
-                            compute_dtype=jnp.bfloat16,
+                            compute_dtype=None,
                             interpret: Optional[bool] = None) -> jax.Array:
     """Arbitrary-length wrapper: pads B up to a block multiple."""
     B = indices.shape[0]
@@ -303,7 +312,7 @@ def _bwd_kernel(shapes: TTShapes, block: int, compute_dtype,
 
 def tt_grads_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
                     d_out: jax.Array, block: int = 1024,
-                    compute_dtype=jnp.bfloat16,
+                    compute_dtype=None,
                     interpret: Optional[bool] = None) -> Cores:
     """Fused dense core gradients: (B,), (B, D) -> per-core grads.
 
@@ -311,8 +320,7 @@ def tt_grads_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
     of ``block``; duplicates accumulate exactly (matmul accumulation ==
     deterministic scatter-add).
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    compute_dtype, interpret = _resolve(compute_dtype, interpret)
     if shapes.ndim != 3:
         raise ValueError("pallas backward supports 3-core TT")
     B = indices.shape[0]
@@ -488,14 +496,13 @@ def _sgd_kernel(shapes: TTShapes, block: int, compute_dtype, lr: float,
 
 def tt_fused_sgd_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
                         d_out: jax.Array, lr: float, block: int = 1024,
-                        compute_dtype=jnp.bfloat16,
+                        compute_dtype=None,
                         interpret: Optional[bool] = None) -> Cores:
     """One fused pass: recompute forward partials, backprop, apply SGD to
     the cores; returns the updated cores.  Gradient uses the pre-step core
     values throughout (exact SGD semantics; the reference's in-kernel
     update reads partially-updated cores — a race it tolerates)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    compute_dtype, interpret = _resolve(compute_dtype, interpret)
     if shapes.ndim != 3:
         raise ValueError("fused sgd supports 3-core TT")
     B = indices.shape[0]

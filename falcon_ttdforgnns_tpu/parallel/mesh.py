@@ -32,6 +32,58 @@ def make_mesh(n_data: Optional[int] = None, n_node: int = 1,
     return Mesh(arr, axis_names=("data", "node"))
 
 
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None,
+                   logger=None) -> int:
+    """Multi-host bootstrap: ``jax.distributed.initialize`` (the TPU-native
+    replacement for the reference's
+    ``dist.init_process_group('nccl', tcp://...)``,
+    `sage_dgl_partition.py:203-206`).  On Cloud TPU pods the arguments are
+    discovered from the environment; explicit values support manual
+    clusters (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID env vars are
+    honored as fallbacks).  Returns the global process count.  Safe no-op
+    when already initialized or single-process."""
+    import os
+    kwargs = {}
+    coordinator = coordinator or os.environ.get("COORDINATOR_ADDRESS")
+    if coordinator:
+        kwargs["coordinator_address"] = coordinator
+        kwargs["num_processes"] = int(
+            num_processes or os.environ.get("NUM_PROCESSES", "1"))
+        kwargs["process_id"] = int(
+            process_id or os.environ.get("PROCESS_ID", "0"))
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError) as e:  # already initialized / 1-proc
+        if logger:
+            logger.info(f"multihost init skipped: {e}")
+    n = jax.process_count()
+    if logger:
+        logger.info(f"multihost: process {jax.process_index()}/{n}, "
+                    f"{jax.device_count()} global devices")
+    return n
+
+
+def make_global_mesh(n_node: int = 1) -> Mesh:
+    """DCN-aware global mesh: hosts stacked on the 'data' (DCN) axis, the
+    per-host chips split data×node so 'node' collectives (ring SpMM
+    ppermute, cache all-to-all) ride ICI only — the scaling-book recipe of
+    keeping the fast axis innermost.  Falls back to :func:`make_mesh` on a
+    single process."""
+    if jax.process_count() == 1:
+        return make_mesh(n_node=n_node)
+    from jax.experimental import mesh_utils
+    per_host = jax.local_device_count()
+    if per_host % n_node != 0:
+        raise ValueError(f"n_node={n_node} must divide chips/host={per_host}")
+    arr = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(per_host // n_node, n_node),
+        dcn_mesh_shape=(jax.process_count(), 1),
+    )
+    return Mesh(arr, axis_names=("data", "node"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) dim sharded over 'data'."""
     return NamedSharding(mesh, P("data"))

@@ -106,7 +106,7 @@ def ring_spmm(mesh: Mesh, h: jax.Array, src_b: jax.Array, dst_b: jax.Array,
         (acc, _), _ = jax.lax.scan(step, (acc, h_blk), jnp.arange(S))
         return acc
 
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     f = shard_map(
         body, mesh=mesh,

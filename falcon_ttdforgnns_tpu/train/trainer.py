@@ -62,6 +62,25 @@ class TrainConfig:
     # 95 ms/step in-loop vs seconds when dispatched singly) and is the
     # TPU-idiomatic trainer shape.  1 = classic per-step dispatch.
     steps_per_call: int = 8
+    # --sparse: fused Pallas backward+SGD on the TT cores (the functional
+    # analog of `Fused_Efficient_TT_backward_sgd_cuda`, ecu:718-904).
+    # Requires 3-core TT and no row cache; falls back to routed optax SGD
+    # otherwise (EXACT_SGD semantics either way).
+    sparse: bool = False
+    # --batch-count: TT lookup chunk size / VMEM budget knob (cu:1027).
+    batch_count: int = 131072
+    # --mode: 'mixed' = host-side sampling (UVA analog); 'puregpu' = CSR
+    # arrays in HBM, sampling runs INSIDE the jitted step (device_sampler).
+    mode: str = "mixed"
+    # --num-workers: host sampler thread-pool width (graphloader.py:261).
+    num_workers: int = 1
+    # --full-neighbor (use_sample=False): exact-aggregation training via
+    # differentiable full-graph propagation (README NoTT-FullNeighbor rows).
+    use_sample: bool = True
+    # --emb-name eff: Efficient_TT grouped (prefix-dedup) lookup.
+    grouped: bool = False
+    # node-space sharding for layer-wise inference (papers100M scale-out).
+    node_shard: bool = False
 
 
 class SageTrainer:
@@ -86,13 +105,16 @@ class SageTrainer:
             cache_size=cfg.cache_size,
             access_counts=cfg.access_counts,
             precomputed_cores=precomputed_cores,
+            batch_count=cfg.batch_count,
+            grouped=cfg.grouped,
         )
         self.tx = make_optimizer(
             lr=cfg.lr, tt_optimizer=cfg.tt_optimizer,
             plateau_patience=cfg.plateau_patience)
         self.loader = NeighborLoader(
             dataset.graph, dataset.train_idx, dataset.labels,
-            cfg.fanouts, cfg.batch_size, seed=cfg.seed)
+            cfg.fanouts, cfg.batch_size, seed=cfg.seed,
+            num_workers=cfg.num_workers)
 
         rng = jax.random.PRNGKey(cfg.seed)
         dummy = self._dummy_batch()
@@ -102,22 +124,77 @@ class SageTrainer:
         self.opt_state = self.tx.init(params)
 
         self.mesh = None
+        self._multi_fn = None
+        self._device_multi_fn = None
+        self._full_step_fn = None
+        self._fused_sparse = False
         if cfg.dist and jax.device_count() > 1:
             # DDP analog (`sage_dgl_partition.py:198-255`): mesh DP — params
             # replicated, batch sharded, grads psum'd by XLA.
-            from ..parallel import make_mesh, make_dp_train_step, replicate
+            from ..parallel import (make_mesh, make_dp_train_step,
+                                    make_dp_multi_step, replicate)
             n = cfg.num_chips if cfg.num_chips > 0 else jax.device_count()
             self.mesh = make_mesh(n_data=n, devices=jax.devices()[:n])
             self._step_fn = make_dp_train_step(self.model, self.tx, self.mesh)
+            if cfg.steps_per_call > 1:
+                self._multi_fn = make_dp_multi_step(
+                    self.model, self.tx, self.mesh, cfg.steps_per_call,
+                    self._layer_widths())
             self.variables = replicate(self.mesh, self.variables)
             self.opt_state = replicate(self.mesh, self.opt_state)
+        elif not cfg.use_sample:
+            # full-neighbor training (`--full-neighbor`)
+            self._step_fn = self._build_step()       # run-one compatibility
+            self._full_step_fn = self._build_full_neighbor_step()
+        elif cfg.mode == "puregpu":
+            # device-side sampling composes with the fused-sparse body
+            self._fused_sparse = self._want_fused_sparse()
+            self._step_fn = (self._build_fused_sparse_step()
+                             if self._fused_sparse else self._build_step())
+            self._device_multi_fn = self._build_device_multi_step()
+        elif self._want_fused_sparse():
+            self._fused_sparse = True
+            self._step_fn = self._build_fused_sparse_step()
+            if cfg.steps_per_call > 1:
+                self._multi_fn = self._build_multi_step(fused=True)
         elif cfg.steps_per_call > 1:
             self._step_fn = self._build_step()       # eval/run-one path
             self._multi_fn = self._build_multi_step()
         else:
             self._step_fn = self._build_step()
+        if cfg.mode == "puregpu" or not cfg.use_sample:
+            self._put_graph_on_device()
+        if cfg.mode == "puregpu" and cfg.cache_size > 0 and logger:
+            logger.warning("--mode puregpu samples on device; host LFU "
+                           "frequencies are unavailable (cache populate "
+                           "will use device-side counters if enabled)")
         self._metrics: Dict[str, List[float]] = {"loss": [], "throughput": []}
         self.step = 0
+
+    def _want_fused_sparse(self) -> bool:
+        """--sparse routes TT-core updates through the fused Pallas
+        backward+SGD kernel when the config supports it (3-core TT, no row
+        cache); otherwise sparse mode falls back to routed optax SGD."""
+        cfg = self.cfg
+        if not (cfg.sparse and cfg.use_tt and cfg.cache_size == 0):
+            return False
+        from ..ops.tt_shapes import make_tt_shapes
+        shapes = make_tt_shapes(self.ds.num_nodes, self.ds.feat_dim,
+                                cfg.tt_ranks, cfg.p_shapes, cfg.q_shapes)
+        return shapes.ndim == 3
+
+    def _put_graph_on_device(self) -> None:
+        """CSR arrays -> HBM for puregpu sampling / full-neighbor training
+        (`--mode puregpu` placement semantics, `sage_dgl_partition.py:211`)."""
+        g = self.ds.graph
+        ptr_dtype = np.int64 if g.num_edges >= 2**31 else np.int32
+        self._indptr_dev = jnp.asarray(g.indptr.astype(ptr_dtype))
+        self._indices_dev = jnp.asarray(g.indices.astype(np.int32))
+        if not self.cfg.use_sample:
+            src, dst = g.to_coo()
+            self._src_dev = jnp.asarray(src.astype(np.int32))
+            self._dst_dev = jnp.asarray(dst.astype(np.int32))
+            self._indeg_dev = jnp.asarray(g.degrees.astype(np.float32))
 
     def _dummy_batch(self):
         B = self.cfg.batch_size
@@ -128,33 +205,133 @@ class SageTrainer:
             layers.append(jnp.zeros((B, f), jnp.int32))
         return seeds, layers
 
+    def _make_step_body(self, fused: bool = False):
+        """The one-optimizer-step body shared by every trainer shape
+        (single dispatch, multi-step fori_loop, device-sampling).  With
+        ``fused`` the TT cores are updated by the fused Pallas
+        backward+SGD kernel instead of autograd+optax."""
+        model, tx, cfg = self.model, self.tx, self.cfg
+        if not fused:
+            def body(variables, opt_state, seeds, layers, labels, rng):
+                params = variables["params"]
+                aux_cols = {k: v for k, v in variables.items() if k != "params"}
+
+                def loss_fn(p):
+                    out, mutated = model.apply(
+                        {"params": p, **aux_cols}, seeds, layers, train=True,
+                        rngs={"dropout": rng},
+                        mutable=["ttcache", "batch_stats", "access_counts"])
+                    loss = optax.softmax_cross_entropy_with_integer_labels(
+                        out, labels).mean()
+                    return loss, (out, mutated)
+
+                (loss, (logits, mutated)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, new_opt_state = tx.update(grads, opt_state, params,
+                                                   value=loss)
+                new_params = optax.apply_updates(params, updates)
+                acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+                new_vars = {"params": new_params, **{**aux_cols, **mutated}}
+                return new_vars, new_opt_state, loss, acc
+
+            return body
+
+        # fused-sparse body: lookup + conv tower forward; autograd stops at
+        # the embedding output; one Pallas kernel recomputes the TT chain,
+        # backprops, and applies SGD to the cores (semantics of the
+        # reference's in-kernel sparse optimizer, ecu:1011-1247, without
+        # its double-lr bug).  The plateau lr schedule applies to the dense
+        # params only — the fused kernel uses the fixed cfg.lr, matching
+        # the reference's fixed in-kernel lr.
+        from ..models.sage import SAGE, collect_level_ids
+        from ..ops.tt_pallas import tt_lookup_fused, tt_fused_sgd_pallas
+        from ..ops.tt_shapes import make_tt_shapes
+        shapes = make_tt_shapes(self.ds.num_nodes, self.ds.feat_dim,
+                                cfg.tt_ranks, cfg.p_shapes, cfg.q_shapes)
+        block, lr = 1024, cfg.lr
+
+        def fused_body(variables, opt_state, seeds, layers, labels, rng):
+            params = variables["params"]
+            aux_cols = {k: v for k, v in variables.items() if k != "params"}
+            cores = tuple(params["embed"][f"tt_core_{k}"]
+                          for k in range(shapes.ndim))
+            all_ids, _, _ = collect_level_ids(seeds, layers)
+            h_all = jax.lax.stop_gradient(
+                tt_lookup_fused(shapes, block, cores, all_ids.astype(jnp.int32)))
+
+            def loss_fn(p, h):
+                out, mutated = model.apply(
+                    {"params": p, **aux_cols}, h, seeds, layers, train=True,
+                    rngs={"dropout": rng},
+                    mutable=["ttcache", "batch_stats", "access_counts"],
+                    method=SAGE.forward_from_embeddings)
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    out, labels).mean()
+                return loss, (out, mutated)
+
+            (loss, (logits, mutated)), (grads, d_h) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, h_all)
+            # dense params via the routed optimizer (core grads are zero
+            # here — cores are untouched by forward_from_embeddings)
+            updates, new_opt_state = tx.update(grads, opt_state, params,
+                                               value=loss)
+            new_params = optax.apply_updates(params, updates)
+            new_cores = tt_fused_sgd_pallas(shapes, cores,
+                                            all_ids.astype(jnp.int32),
+                                            d_h, lr, block)
+            embed = dict(new_params["embed"])
+            for k in range(shapes.ndim):
+                embed[f"tt_core_{k}"] = new_cores[k]
+            new_params = {**new_params, "embed": embed}
+            acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+            new_vars = {"params": new_params, **{**aux_cols, **mutated}}
+            return new_vars, new_opt_state, loss, acc
+
+        return fused_body
+
     def _build_step(self):
-        model, tx = self.model, self.tx
+        return partial(jax.jit, donate_argnums=(0, 1))(self._make_step_body())
+
+    def _build_fused_sparse_step(self):
+        """`--sparse` per-dispatch step with the fused Pallas TT-SGD."""
+        return partial(jax.jit, donate_argnums=(0, 1))(
+            self._make_step_body(fused=True))
+
+    def _build_full_neighbor_step(self):
+        """`--full-neighbor` step: differentiable full-graph propagation,
+        loss on the minibatch seeds (exact L-hop aggregation — the TPU
+        formulation of the reference's full-neighbor sampler,
+        `graphloader.py:245-251`)."""
+        model, tx, cfg = self.model, self.tx, self.cfg
+        from ..models.sage import SAGE
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(variables, opt_state, seeds, layers, labels, rng):
+        def step(variables, opt_state, src, dst, in_deg, seeds, labels, rng):
             params = variables["params"]
             aux_cols = {k: v for k, v in variables.items() if k != "params"}
 
             def loss_fn(p):
-                out, mutated = model.apply(
-                    {"params": p, **aux_cols}, seeds, layers, train=True,
+                logits_all, mutated = model.apply(
+                    {"params": p, **aux_cols}, src, dst, in_deg, True,
+                    chunk=cfg.edge_chunk,
                     rngs={"dropout": rng},
-                    mutable=["ttcache", "batch_stats", "access_counts"])
-                logits = out
+                    mutable=["ttcache", "batch_stats", "access_counts"],
+                    method=SAGE.forward_full_graph)
+                logits = jnp.take(logits_all, seeds, axis=0)
                 loss = optax.softmax_cross_entropy_with_integer_labels(
                     logits, labels).mean()
                 return loss, (logits, mutated)
 
             (loss, (logits, mutated)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
-            updates, new_opt_state = tx.update(grads, opt_state, params, value=loss)
+            updates, new_opt_state = tx.update(grads, opt_state, params,
+                                               value=loss)
             new_params = optax.apply_updates(params, updates)
             acc = jnp.mean(jnp.argmax(logits, -1) == labels)
             new_vars = {"params": new_params, **{**aux_cols, **mutated}}
             return new_vars, new_opt_state, loss, acc
 
-        return train_step
+        return step
 
     def _layer_widths(self):
         widths, f = [], 1
@@ -163,14 +340,14 @@ class SageTrainer:
             widths.append(f)
         return widths
 
-    def _build_multi_step(self):
+    def _build_multi_step(self, fused: bool = False):
         """S optimizer steps per dispatch.  Batches arrive as ONE packed
         int32 array (S, B, 2 + sum(F_l)): [seed, label, layer ids...] —
         a single host->device transfer per dispatch (the per-buffer
         round-trip cost on remote-attached TPUs dominates otherwise)."""
-        model, tx = self.model, self.tx
         S = self.cfg.steps_per_call
         widths = self._layer_widths()
+        step_body = self._make_step_body(fused=fused)
 
         # No donation: param/opt trees are a few MB (double-buffering is
         # free), and on the remote-attached dev TPU a controlled
@@ -183,8 +360,6 @@ class SageTrainer:
         def multi_step(variables, opt_state, packed, rng):
             def body(i, carry):
                 variables, opt_state, loss_sum, acc_sum = carry
-                params = variables["params"]
-                aux = {k: v for k, v in variables.items() if k != "params"}
                 row = packed[i]                      # (B, 2 + sum(F))
                 seeds = row[:, 0]
                 labels = row[:, 1]
@@ -192,23 +367,39 @@ class SageTrainer:
                 for w in widths:
                     layers.append(row[:, off:off + w])
                     off += w
+                new_vars, new_opt, loss, acc = step_body(
+                    variables, opt_state, seeds, layers, labels,
+                    jax.random.fold_in(rng, i))
+                return (new_vars, new_opt, loss_sum + loss, acc_sum + acc)
 
-                def loss_fn(p):
-                    out, mutated = model.apply(
-                        {"params": p, **aux}, seeds, layers, train=True,
-                        rngs={"dropout": jax.random.fold_in(rng, i)},
-                        mutable=["ttcache", "batch_stats", "access_counts"])
-                    loss = optax.softmax_cross_entropy_with_integer_labels(
-                        out, labels).mean()
-                    return loss, (out, mutated)
+            variables, opt_state, loss_sum, acc_sum = jax.lax.fori_loop(
+                0, S, body, (variables, opt_state, jnp.float32(0),
+                             jnp.float32(0)))
+            return variables, opt_state, loss_sum / S, acc_sum / S
 
-                (loss, (logits, mutated)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params)
-                updates, new_opt = tx.update(grads, opt_state, params,
-                                             value=loss)
-                new_params = optax.apply_updates(params, updates)
-                acc = jnp.mean(jnp.argmax(logits, -1) == labels)
-                new_vars = {"params": new_params, **{**aux, **mutated}}
+        return multi_step
+
+    def _build_device_multi_step(self):
+        """`--mode puregpu`: the CSR graph lives in HBM and each in-loop
+        step SAMPLES ON DEVICE (graph/device_sampler.py) — the packed
+        host->device transfer shrinks to (S, B, 2) [seed, label]."""
+        S = self.cfg.steps_per_call
+        fanouts = self.cfg.fanouts
+        step_body = self._make_step_body(fused=self._fused_sparse)
+        from ..graph.device_sampler import device_sample_block
+
+        @jax.jit
+        def multi_step(variables, opt_state, packed, rng, indptr, indices):
+            def body(i, carry):
+                variables, opt_state, loss_sum, acc_sum = carry
+                seeds = packed[i, :, 0]
+                labels = packed[i, :, 1]
+                k_sample = jax.random.fold_in(rng, 2 * i)
+                k_drop = jax.random.fold_in(rng, 2 * i + 1)
+                layers = device_sample_block(indptr, indices, seeds, fanouts,
+                                             k_sample)
+                new_vars, new_opt, loss, acc = step_body(
+                    variables, opt_state, seeds, layers, labels, k_drop)
                 return (new_vars, new_opt, loss_sum + loss, acc_sum + acc)
 
             variables, opt_state, loss_sum, acc_sum = jax.lax.fori_loop(
@@ -255,7 +446,11 @@ class SageTrainer:
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
-        if self.mesh is None and cfg.steps_per_call > 1:
+        if not cfg.use_sample:
+            return self._train_epoch_full_neighbor(epoch)
+        if self._device_multi_fn is not None:
+            return self._train_epoch_device(epoch)
+        if self._multi_fn is not None:
             return self._train_epoch_multi(epoch)
         rng = jax.random.PRNGKey(cfg.seed + 1000 + epoch)
         t_epoch = time.perf_counter()
@@ -313,8 +508,15 @@ class SageTrainer:
         # the device executes group g
         import concurrent.futures as _cf
 
-        def prepare(group):
-            return jax.device_put(self._pack_group(group))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            packed_sh = NamedSharding(self.mesh, P(None, "data", None))
+
+            def prepare(group):
+                return jax.device_put(self._pack_group(group), packed_sh)
+        else:
+            def prepare(group):
+                return jax.device_put(self._pack_group(group))
 
         pool = _cf.ThreadPoolExecutor(1)
         groups = self._grouped_batches()
@@ -365,6 +567,101 @@ class SageTrainer:
             "samples_per_s": n_seen / epoch_time,
         }
 
+    def _train_epoch_device(self, epoch: int) -> Dict[str, float]:
+        """`--mode puregpu`: iterate shuffled seed groups; sampling happens
+        inside the jitted multi-step on the device-resident CSR."""
+        cfg = self.cfg
+        S, B = cfg.steps_per_call, cfg.batch_size
+        rng = jax.random.PRNGKey(cfg.seed + 1000 + epoch)
+        host_rng = np.random.default_rng(cfg.seed + 31 * epoch)
+        order = host_rng.permutation(self.ds.train_idx)
+        per_group = S * B
+        n_groups = max(1, len(order) // per_group)
+        t_epoch = time.perf_counter()
+        losses, accs = [], []
+        n_seen = 0
+        t0 = time.perf_counter()
+        for g in range(n_groups):
+            pick = order[g * per_group:(g + 1) * per_group]
+            if len(pick) < per_group:  # wrap the ragged tail
+                pick = np.concatenate([pick, order[: per_group - len(pick)]])
+            packed = np.empty((S, B, 2), np.int32)
+            packed[:, :, 0] = pick.reshape(S, B)
+            packed[:, :, 1] = self.ds.labels[pick].reshape(S, B)
+            rng, sub = jax.random.split(rng)
+            self.variables, self.opt_state, loss, acc = self._device_multi_fn(
+                self.variables, self.opt_state, jnp.asarray(packed), sub,
+                self._indptr_dev, self._indices_dev)
+            self.step += S
+            n_seen += per_group
+            losses.append(loss); accs.append(acc)
+            if (g + 1) % max(1, cfg.log_every // S) == 0:
+                jax.block_until_ready(loss)
+                dt = time.perf_counter() - t0
+                tput = max(1, cfg.log_every // S) * per_group / dt
+                self._metrics["loss"].append(float(loss))
+                self._metrics["throughput"].append(tput)
+                if self.logger:
+                    self.logger.info(
+                        f"epoch {epoch} step {self.step} loss {float(loss):.4f} "
+                        f"acc {float(acc):.4f} {tput:.0f} samples/s")
+                t0 = time.perf_counter()
+        losses = [float(l) for l in losses]
+        accs = [float(a) for a in accs]
+        epoch_time = time.perf_counter() - t_epoch
+        return {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "train_acc": float(np.mean(accs)) if accs else float("nan"),
+            "epoch_time": epoch_time,
+            "samples_per_s": n_seen / epoch_time,
+        }
+
+    def _train_epoch_full_neighbor(self, epoch: int) -> Dict[str, float]:
+        """`--full-neighbor`: per-minibatch steps with EXACT neighborhood
+        aggregation (full-graph propagation, loss on the batch's seeds) —
+        the README NoTT-FullNeighbor training regime."""
+        cfg = self.cfg
+        B = cfg.batch_size
+        rng = jax.random.PRNGKey(cfg.seed + 1000 + epoch)
+        host_rng = np.random.default_rng(cfg.seed + 31 * epoch)
+        order = host_rng.permutation(self.ds.train_idx)
+        n_batches = max(1, len(order) // B)
+        t_epoch = time.perf_counter()
+        losses, accs = [], []
+        t0 = time.perf_counter()
+        for b in range(n_batches):
+            pick = order[b * B:(b + 1) * B]
+            if len(pick) < B:
+                pick = np.concatenate([pick, order[: B - len(pick)]])
+            seeds = jnp.asarray(pick.astype(np.int32))
+            labels = jnp.asarray(self.ds.labels[pick].astype(np.int32))
+            rng, sub = jax.random.split(rng)
+            self.variables, self.opt_state, loss, acc = self._full_step_fn(
+                self.variables, self.opt_state, self._src_dev, self._dst_dev,
+                self._indeg_dev, seeds, labels, sub)
+            self.step += 1
+            losses.append(loss); accs.append(acc)
+            if (b + 1) % cfg.log_every == 0:
+                jax.block_until_ready(loss)
+                dt = time.perf_counter() - t0
+                tput = cfg.log_every * B / dt
+                self._metrics["loss"].append(float(loss))
+                self._metrics["throughput"].append(tput)
+                if self.logger:
+                    self.logger.info(
+                        f"epoch {epoch} step {self.step} loss {float(loss):.4f} "
+                        f"acc {float(acc):.4f} {tput:.0f} samples/s (full-nbr)")
+                t0 = time.perf_counter()
+        losses = [float(l) for l in losses]
+        accs = [float(a) for a in accs]
+        epoch_time = time.perf_counter() - t_epoch
+        return {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "train_acc": float(np.mean(accs)) if accs else float("nan"),
+            "epoch_time": epoch_time,
+            "samples_per_s": n_batches * B / epoch_time,
+        }
+
     def maybe_populate_cache(self):
         """After warmup epoch(s): build the hot-row cache
         (`sage_dgl_partition.py:350-361`)."""
@@ -378,6 +675,8 @@ class SageTrainer:
         """Layer-wise full-neighbor inference over all nodes
         (`gnn_model.py:220-253`): materialize features chunk-wise via TT,
         then propagate each conv layer over the full COO edge list."""
+        if self.cfg.node_shard and jax.device_count() > 1:
+            return self.infer_full_sharded()
         ds, cfg = self.ds, self.cfg
         n = ds.num_nodes
         src, dst = ds.graph.to_coo()
@@ -403,6 +702,44 @@ class SageTrainer:
         for li in range(cfg.num_layers):
             h = fwd(self.variables, h, src_d, dst_d, in_deg, li)
         return np.asarray(h)
+
+    def infer_full_sharded(self) -> np.ndarray:
+        """Node-sharded layer-wise inference (papers100M scale-out,
+        SURVEY §2.4): activations row-sharded over a 'node' mesh axis,
+        aggregation via ring SpMM (``ppermute`` rotations over ICI), conv
+        transforms row-parallel.  Numerically matches :meth:`infer_full`
+        (tests/test_parallel.py)."""
+        from ..models.sage import SAGE
+        from ..parallel import make_mesh
+        from ..parallel.node_sharding import (partition_edges_by_block,
+                                              sharded_layerwise_inference)
+        ds, cfg = self.ds, self.cfg
+        n_dev = cfg.num_chips if cfg.num_chips > 0 else jax.device_count()
+        mesh = make_mesh(n_data=1, n_node=n_dev, devices=jax.devices()[:n_dev])
+        src, dst = ds.graph.to_coo()
+        src_b, dst_b, w_b, block = partition_edges_by_block(
+            src.astype(np.int64), dst.astype(np.int64), ds.num_nodes, n_dev)
+        mat = jax.jit(lambda v, ids: self.model.apply(
+            v, ids, method=SAGE.materialize_features))
+        chunks = [
+            np.asarray(mat(self.variables, jnp.asarray(ids)))
+            for ids in full_neighbor_chunks(ds.num_nodes, cfg.inference_chunk)
+        ]
+        h = np.concatenate(chunks, axis=0)[:ds.num_nodes]
+        n_pad = block * n_dev
+        h = np.pad(h, ((0, n_pad - ds.num_nodes), (0, 0)))
+        deg = np.pad(ds.graph.degrees.astype(np.float32),
+                     (0, n_pad - ds.num_nodes))
+
+        def model_apply(variables, h_dst, agg, li):
+            return self.model.apply(variables, h_dst, agg, li,
+                                    method=SAGE.apply_conv)
+
+        out = sharded_layerwise_inference(
+            mesh, model_apply, self.variables, jnp.asarray(h),
+            jnp.asarray(src_b), jnp.asarray(dst_b), jnp.asarray(w_b),
+            jnp.asarray(deg), cfg.num_layers)
+        return np.asarray(out)[: ds.num_nodes]
 
     def evaluate(self) -> Dict[str, float]:
         logits = self.infer_full()

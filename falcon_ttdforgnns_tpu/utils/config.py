@@ -48,6 +48,15 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     dist.add_argument("--dist", action="store_true", help="data-parallel over the device mesh")
     dist.add_argument("--num-chips", type=int, default=-1,
                       help="#devices for the data axis (-1 = all)")
+    dist.add_argument("--node-shard", action="store_true",
+                      help="node-space-sharded layer-wise inference over a "
+                           "'node' mesh axis (ring SpMM; papers100M scale-out)")
+    dist.add_argument("--multihost", action="store_true",
+                      help="jax.distributed.initialize() multi-host bootstrap "
+                           "(DCN-spanning mesh; no-op on one host)")
+    dist.add_argument("--steps-per-call", type=int, default=8,
+                      help="optimizer steps per jitted dispatch (device-"
+                           "resident multi-step; 1 = classic per-step)")
 
     # GNN (tt_utils.py:44-48)
     n = p.add_argument_group("gnn")
@@ -72,7 +81,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help=">0 k-way partition reorder; 0 random; -1 recursive "
                         "multilevel (TT-shape matched); -2 RCMK; -3 degree; "
                         "-4 louvain (graphloader.py:399-454 semantics)")
-    t.add_argument("--emb-name", type=str, default="tt")
+    t.add_argument("--emb-name", type=str, default="tt",
+                   choices=["tt", "eff", "dense"],
+                   help="embedding impl: tt (FBTT-analog fused lookup), "
+                        "eff (Efficient_TT grouped prefix-dedup lookup), "
+                        "dense (no TT)")
     t.add_argument("--sparse", action="store_true",
                    help="EXACT_SGD-style TT-core updates (SGD instead of Adam)")
     t.add_argument("--batch-count", type=int, default=65536,

@@ -79,7 +79,6 @@ class TensorCache:
     # vectorized batch interface (beyond the reference)
     def get_batch(self, keys: np.ndarray):
         self.time += 1
-        pos = np.searchsorted(np.sort(self.keys), keys)
         order = np.argsort(self.keys)
         skeys = self.keys[order]
         pos = np.clip(np.searchsorted(skeys, keys), 0, self.capacity - 1)

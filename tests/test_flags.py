@@ -1,0 +1,194 @@
+"""Every CLI flag must change behavior (VERDICT round-1 item 2): tests
+that the previously-dead flags are wired — --sparse (fused Pallas SGD),
+--batch-count, --full-neighbor, --mode puregpu (device sampling),
+--num-workers, --emb-name, dist multi-step, node-sharded inference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from falcon_ttdforgnns_tpu.graph import synthetic_dataset, sample_block
+from falcon_ttdforgnns_tpu.models import SAGE
+from falcon_ttdforgnns_tpu.train import SageTrainer, TrainConfig
+
+
+def small_ds(n=600, classes=4, feat=16, seed=0):
+    return synthetic_dataset(num_nodes=n, avg_degree=6, num_classes=classes,
+                             feat_dim=feat, seed=seed)
+
+
+def small_cfg(**kw):
+    base = dict(batch_size=16, fanouts=(2, 3), epochs=1, lr=0.01,
+                dropout=0.0, hidden_dim=16, num_layers=2, use_tt=True,
+                tt_ranks=(4, 4), weight_dist="normal", eval_every=100,
+                log_every=1000, seed=0, steps_per_call=1, skip_eval=True)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+class TestBatchCount:
+    def test_threads_to_embedding(self):
+        ds = small_ds()
+        tr = SageTrainer(ds, small_cfg(batch_count=4096))
+        assert tr.model.batch_count == 4096
+        # numeric invariance: chunk size must not change lookup values
+        tr2 = SageTrainer(ds, small_cfg(batch_count=64))
+        ids = jnp.arange(100, dtype=jnp.int32)
+        a = tr.model.apply(tr.variables, ids, method=SAGE.materialize_features)
+        b = tr2.model.apply(tr2.variables, ids, method=SAGE.materialize_features)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+class TestFusedSparse:
+    def test_selected_and_matches_autograd_sgd(self):
+        """--sparse routes TT cores through the fused Pallas backward+SGD;
+        one fused step must equal cores - lr * dL/dcores (EXACT_SGD)."""
+        ds = small_ds()
+        cfg = small_cfg(sparse=True, tt_optimizer="sgd")
+        tr = SageTrainer(ds, cfg)
+        assert tr._fused_sparse, "sparse config should select the fused step"
+
+        batch = next(iter(tr.loader))
+        seeds = jnp.asarray(batch.seeds)
+        layers = [jnp.asarray(l) for l in batch.layers]
+        labels = jnp.asarray(batch.labels)
+        rng = jax.random.PRNGKey(7)
+
+        params0 = jax.tree.map(lambda x: x, tr.variables["params"])
+
+        # expected core update via plain autograd on the XLA lookup path
+        def loss_fn(p):
+            out = tr.model.apply({"params": p}, seeds, layers, train=True,
+                                 rngs={"dropout": rng})
+            return optax.softmax_cross_entropy_with_integer_labels(
+                out, labels).mean()
+
+        grads = jax.grad(loss_fn)(params0)
+        expected = {
+            k: params0["embed"][k] - cfg.lr * grads["embed"][k]
+            for k in params0["embed"] if k.startswith("tt_core_")
+        }
+
+        new_vars, _, loss, _ = tr._step_fn(tr.variables, tr.opt_state,
+                                           seeds, layers, labels, rng)
+        assert np.isfinite(float(loss))
+        for k, exp in expected.items():
+            got = np.asarray(new_vars["params"]["embed"][k])
+            # bf16 compute inside the kernels -> loose tolerance
+            np.testing.assert_allclose(got, np.asarray(exp), atol=5e-3,
+                                       rtol=5e-2)
+
+    def test_fused_multi_step_trains(self):
+        ds = small_ds()
+        tr = SageTrainer(ds, small_cfg(sparse=True, tt_optimizer="sgd",
+                                       steps_per_call=2, epochs=1))
+        assert tr._fused_sparse and tr._multi_fn is not None
+        stats = tr.train_epoch(0)
+        assert np.isfinite(stats["loss"])
+
+
+class TestFullNeighbor:
+    def test_flag_changes_path_and_trains(self):
+        ds = small_ds()
+        tr = SageTrainer(ds, small_cfg(use_sample=False, batch_size=32))
+        assert tr._full_step_fn is not None
+        stats = tr.train_epoch(0)
+        assert np.isfinite(stats["loss"])
+
+    def test_full_graph_forward_matches_inference_propagation(self):
+        """forward_full_graph (training path) must equal the layer-wise
+        inference propagation in eval mode — exact-aggregation parity."""
+        ds = small_ds()
+        tr = SageTrainer(ds, small_cfg(use_sample=False))
+        logits_train_path = tr.model.apply(
+            tr.variables, tr._src_dev, tr._dst_dev, tr._indeg_dev, False,
+            method=SAGE.forward_full_graph)
+        logits_infer = tr.infer_full()
+        np.testing.assert_allclose(np.asarray(logits_train_path),
+                                   logits_infer, atol=2e-5, rtol=1e-4)
+
+
+class TestPureGPUMode:
+    def test_device_sampler_correctness(self):
+        from falcon_ttdforgnns_tpu.graph.device_sampler import (
+            device_sample_neighbors)
+        ds = small_ds()
+        g = ds.graph
+        indptr = jnp.asarray(g.indptr.astype(np.int32))
+        indices = jnp.asarray(g.indices.astype(np.int32))
+        nodes = np.arange(64, dtype=np.int32)
+        nbrs = np.asarray(device_sample_neighbors(
+            indptr, indices, jnp.asarray(nodes), 5, jax.random.PRNGKey(0)))
+        for i, v in enumerate(nodes):
+            s, e = g.indptr[v], g.indptr[v + 1]
+            neigh = set(g.indices[s:e].tolist())
+            for u in nbrs[i]:
+                if e > s:
+                    assert int(u) in neigh
+                else:
+                    assert int(u) == v  # isolated -> self loop
+
+    def test_puregpu_epoch_trains(self):
+        ds = small_ds()
+        tr = SageTrainer(ds, small_cfg(mode="puregpu", steps_per_call=2))
+        assert tr._device_multi_fn is not None
+        before = np.asarray(
+            jax.tree.leaves(tr.variables["params"])[0]).copy()
+        stats = tr.train_epoch(0)
+        after = np.asarray(jax.tree.leaves(tr.variables["params"])[0])
+        assert np.isfinite(stats["loss"])
+        assert not np.allclose(before, after), "params must move"
+
+
+class TestDistMultiStep:
+    @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+    def test_dp_multi_step_wired(self):
+        ds = small_ds()
+        tr = SageTrainer(ds, small_cfg(dist=True, steps_per_call=2,
+                                       batch_size=16))
+        assert tr.mesh is not None and tr._multi_fn is not None
+        stats = tr.train_epoch(0)
+        assert np.isfinite(stats["loss"])
+
+
+class TestEmbName:
+    def test_eff_selects_grouped(self):
+        ds = small_ds()
+        tr = SageTrainer(ds, small_cfg(grouped=True))
+        assert tr.model.grouped is True
+        ids = jnp.asarray(np.random.default_rng(0).integers(0, ds.num_nodes,
+                                                            64, dtype=np.int32))
+        a = tr.model.apply(tr.variables, ids, method=SAGE.materialize_features)
+        tr2 = SageTrainer(ds, small_cfg(grouped=False))
+        b = tr2.model.apply(tr2.variables, ids, method=SAGE.materialize_features)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-5)
+
+
+class TestNumWorkers:
+    def test_parallel_loader_yields_valid_batches(self):
+        from falcon_ttdforgnns_tpu.graph.sampler import NeighborLoader
+        ds = small_ds()
+        loader = NeighborLoader(ds.graph, ds.train_idx, ds.labels, (2, 3),
+                                16, seed=0, num_workers=4)
+        batches = list(loader)
+        assert len(batches) == len(loader)
+        for b in batches[:3]:
+            assert b.seeds.shape == (16,)
+            assert b.layers[0].shape == (16, 3)
+            assert b.layers[1].shape == (16, 6)
+            assert (b.layers[0] < ds.num_nodes).all()
+        assert loader.freq is not None and loader.freq.sum() > 0
+
+
+class TestNodeShardInference:
+    @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+    def test_sharded_inference_matches_single(self):
+        ds = small_ds(n=512)
+        tr = SageTrainer(ds, small_cfg())
+        ref = tr.infer_full()
+        tr.cfg.node_shard = True
+        out = tr.infer_full_sharded()
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
