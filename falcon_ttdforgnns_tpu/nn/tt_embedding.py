@@ -73,7 +73,7 @@ class TTEmbeddingBag(nn.Module):
     precomputed_cores: Optional[Tuple[np.ndarray, ...]] = None
     init_seed: int = 0
     batch_count: int = 131072  # lookup chunk size (cu:1027 analog)
-    # kernel: 'auto' uses the fused Pallas path on TPU for 3-core TT
+    # kernel: 'auto' uses the fused Pallas path on TPU for 2-4 core TT
     # (~100x the XLA gather path on v5e), XLA elsewhere.
     kernel: str = "auto"
     pallas_block: int = 1024
@@ -87,7 +87,7 @@ class TTEmbeddingBag(nn.Module):
             return True
         if self.kernel == "xla":
             return False
-        return jax.default_backend() == "tpu" and self.shapes.ndim == 3
+        return jax.default_backend() == "tpu" and self.shapes.ndim in (2, 3, 4)
 
     def _lookup(self, indices: jax.Array) -> jax.Array:
         if self._use_pallas():

@@ -181,7 +181,7 @@ class SageTrainer:
         from ..ops.tt_shapes import make_tt_shapes
         shapes = make_tt_shapes(self.ds.num_nodes, self.ds.feat_dim,
                                 cfg.tt_ranks, cfg.p_shapes, cfg.q_shapes)
-        return shapes.ndim == 3
+        return shapes.ndim in (2, 3, 4)
 
     def _put_graph_on_device(self) -> None:
         """CSR arrays -> HBM for puregpu sampling / full-neighbor training

@@ -8,9 +8,10 @@ Candidates for out[v] = sum_{u->v} h[u]:
   fused         take+segment_sum in one jit              (current spmm_sum)
   padded        h[nbr (N,w)] .sum(1)  gather-only padded-CSR (no scatter)
 
-Timing: K data-dependent iterations inside one jitted fori_loop per host
-readback (the axon relay lies under block_until_ready for single ops).
-"""
+Timing: K iterations inside one jitted fori_loop; every iteration's
+indices depend on an evolving carry offset (loop-invariant code motion
+cannot hoist the body; the axon relay lies under block_until_ready for
+single ops)."""
 
 import os, sys, time
 import numpy as np
@@ -21,22 +22,25 @@ import jax.numpy as jnp
 K = int(os.environ.get("PROBE_K", "8"))
 
 
-def timed(name, fn, *args, flops=None, bytes_=None):
-    """fn must be jittable: (carry, *args) -> carry-like (data dependence)."""
+def timed(name, fn, flops=None, bytes_=None):
+    """fn(offset:int32 scalar) -> array; executed K times with evolving
+    offset, output folded into a scalar carry."""
     @jax.jit
-    def loop(x, args):
-        def body(i, c):
-            return fn(c, *args)
-        return jax.lax.fori_loop(0, K, body, x)
+    def loop(off0):
+        def body(i, carry):
+            s, off = carry
+            out = fn(off)
+            # full-output reduction: a single-element fold would let XLA
+            # DCE most of a pure gather
+            return (s + out.sum(), off + 1)
+        s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0), off0))
+        return s
 
-    carry = fn(None, *args)
-    carry = jax.block_until_ready(carry)
-    # warm the loop
-    out = jax.block_until_ready(loop(carry, args))
+    out = jax.block_until_ready(loop(jnp.int32(0)))   # compile+warm
     t0 = time.perf_counter()
-    out = jax.block_until_ready(loop(out, args))
+    out = jax.block_until_ready(loop(jnp.int32(1)))
     dt = (time.perf_counter() - t0) / K
-    msg = f"{name:28s} {dt*1e3:9.3f} ms"
+    msg = f"{name:30s} {dt*1e3:9.3f} ms"
     if bytes_:
         msg += f"  {bytes_/dt/1e9:8.1f} GB/s"
     if flops:
@@ -46,74 +50,69 @@ def timed(name, fn, *args, flops=None, bytes_=None):
 
 
 def main():
-    print(f"backend={jax.default_backend()} devices={jax.devices()}", flush=True)
-    rng = np.random.default_rng(0)
+    print(f"backend={jax.default_backend()}", flush=True)
     N, D = 2_449_029, 256
-    E = 8_000_000  # edge slice for the E-shaped probes
-    h = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
-    src = jnp.asarray(rng.integers(0, N, E).astype(np.int32))
-    dst_sorted = jnp.asarray(np.sort(rng.integers(0, N, E).astype(np.int32)))
+    E = 4_000_000
+    # generate ON DEVICE — multi-GB host->device transfers through the
+    # axon relay take minutes and are not what we're measuring
+    @jax.jit
+    def gen(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        h = jax.random.normal(k1, (N, D), jnp.float32)
+        src = jax.random.randint(k2, (E,), 0, N, jnp.int32)
+        dst = jnp.sort(jax.random.randint(k3, (E,), 0, N, jnp.int32))
+        msgs = jax.random.normal(k4, (E, D), jnp.float32)
+        return h, src, dst, msgs
+    h, src, dst_sorted, msgs = jax.block_until_ready(gen(jax.random.PRNGKey(0)))
+    print("data generated", flush=True)
 
-    # 1. pure gather
-    def gather(c, h, src):
-        hh = h if c is None else h + (c[0, 0] * 0)
-        return jnp.take(hh, src, axis=0)
-    timed("gather E rows", gather, h, src, bytes_=E * D * 4)
+    timed("gather E rows",
+          lambda off: jnp.take(h, (src + off) % N, axis=0),
+          bytes_=E * D * 4)
 
-    msgs = jnp.asarray(rng.normal(size=(E, D)).astype(np.float32))
+    timed("segment_sum sorted",
+          lambda off: jax.ops.segment_sum(
+              msgs * (1.0 + 1e-12 * off), dst_sorted, num_segments=N,
+              indices_are_sorted=True),
+          bytes_=E * D * 4 + N * D * 4)
 
-    # 2. segment-sum sorted
-    def segsum(c, msgs, dst):
-        mm = msgs if c is None else msgs + (c[0, 0] * 0)
-        return jax.ops.segment_sum(mm, dst, num_segments=N,
-                                   indices_are_sorted=True)
-    timed("segment_sum sorted", segsum, msgs, dst_sorted, bytes_=E * D * 4 + N * D * 4)
+    timed("segment_sum unsorted-flag",
+          lambda off: jax.ops.segment_sum(
+              msgs * (1.0 + 1e-12 * off), dst_sorted, num_segments=N,
+              indices_are_sorted=False),
+          bytes_=E * D * 4 + N * D * 4)
 
-    # 2b. segment-sum unsorted flag
-    def segsum_u(c, msgs, dst):
-        mm = msgs if c is None else msgs + (c[0, 0] * 0)
-        return jax.ops.segment_sum(mm, dst, num_segments=N,
-                                   indices_are_sorted=False)
-    timed("segment_sum unsorted-flag", segsum_u, msgs, dst_sorted, bytes_=E * D * 4 + N * D * 4)
+    timed("scatter .at[].add sorted",
+          lambda off: jnp.zeros((N, D), jnp.float32).at[dst_sorted].add(
+              msgs * (1.0 + 1e-12 * off), indices_are_sorted=True),
+          bytes_=E * D * 4 + N * D * 4)
 
-    # 3. scatter-add
-    def scat(c, msgs, dst):
-        mm = msgs if c is None else msgs + (c[0, 0] * 0)
-        acc = jnp.zeros((N, D), jnp.float32)
-        return acc.at[dst].add(mm, indices_are_sorted=True)
-    timed("scatter .at[].add sorted", scat, msgs, dst_sorted, bytes_=E * D * 4 + N * D * 4)
+    timed("gather+segsum fused",
+          lambda off: jax.ops.segment_sum(
+              jnp.take(h, (src + off) % N, axis=0), dst_sorted,
+              num_segments=N, indices_are_sorted=True),
+          bytes_=2 * E * D * 4)
 
-    # 4. fused gather+segsum (spmm_sum shape)
-    def fused(c, h, src, dst):
-        hh = h if c is None else h + (c[0, 0] * 0)
-        return jax.ops.segment_sum(jnp.take(hh, src, axis=0), dst,
-                                   num_segments=N, indices_are_sorted=True)
-    timed("gather+segsum fused", fused, h, src, dst_sorted, bytes_=2 * E * D * 4)
-
-    # 5. padded-CSR gather-only: (Nb, w) neighbor matrix
     Nb, w = 131072, 64
-    nbr = jnp.asarray(rng.integers(0, N, (Nb, w)).astype(np.int32))
-    mask = jnp.asarray((rng.random((Nb, w)) < 0.8).astype(np.float32))
+    @jax.jit
+    def gen2(key):
+        k1, k2 = jax.random.split(key)
+        nbr = jax.random.randint(k1, (Nb, w), 0, N, jnp.int32)
+        mask = (jax.random.uniform(k2, (Nb, w)) < 0.8).astype(jnp.float32)
+        return nbr, mask
+    nbr, mask = jax.block_until_ready(gen2(jax.random.PRNGKey(9)))
 
-    def padded(c, h, nbr, mask):
-        hh = h if c is None else h + (c[0, 0] * 0)
-        rows = jnp.take(hh, nbr.reshape(-1), axis=0).reshape(Nb, w, D)
-        return (rows * mask[:, :, None]).sum(axis=1)
-    timed(f"padded ({Nb}x{w}) gather+sum", padded, h, nbr, mask,
+    timed(f"padded ({Nb}x{w}) gather+sum",
+          lambda off: (jnp.take(h, ((nbr + off) % N).reshape(-1), axis=0)
+                       .reshape(Nb, w, D) * mask[:, :, None]).sum(axis=1),
           bytes_=Nb * w * D * 4)
 
-    # 6. one-shot spmm_sum vs chunked on a real-ish sorted COO
-    from falcon_ttdforgnns_tpu.ops.segment import spmm_sum, spmm_sum_chunked
-
-    def oneshot(c, h, src, dst):
-        hh = h if c is None else h + (c[0, 0] * 0)
-        return spmm_sum(hh, src, dst, N, sorted_dst=True)
-    timed("spmm_sum (one-shot)", oneshot, h, src, dst_sorted, bytes_=2 * E * D * 4)
-
-    def chunked(c, h, src, dst):
-        hh = h if c is None else h + (c[0, 0] * 0)
-        return spmm_sum_chunked(hh, src, dst, N, chunk=1 << 21, sorted_dst=True)
-    timed("spmm_sum_chunked 2M", chunked, h, src, dst_sorted, bytes_=2 * E * D * 4)
+    # chunked scatter path (current spmm_sum_chunked shape)
+    from falcon_ttdforgnns_tpu.ops.segment import spmm_sum_chunked
+    timed("spmm_sum_chunked 2M",
+          lambda off: spmm_sum_chunked(h, (src + off) % N, dst_sorted, N,
+                                       chunk=1 << 21, sorted_dst=True),
+          bytes_=2 * E * D * 4)
 
 
 if __name__ == "__main__":

@@ -54,11 +54,65 @@ def test_products_config_shapes():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_rejects_4core(case):
-    shapes = TTShapes(256, 16, (4, 4, 4, 4), (2, 2, 2, 2), (4, 4, 4))
-    cores = tuple(jnp.asarray(c) for c in tt_init.init_tt_cores(shapes, "normal", 0))
-    with pytest.raises(ValueError):
-        tt_lookup_pallas(shapes, cores, jnp.zeros(128, jnp.int32))
+def _case_for(ndim):
+    """2/3/4-core cases (kernel-family parity with the reference's
+    2T/3T/4T kernels, `FBTT/tt_embeddings_cuda.cu:757-851`)."""
+    if ndim == 2:
+        shapes = TTShapes(256, 64, (16, 16), (8, 8), (12,))
+    elif ndim == 3:
+        shapes = TTShapes(int(np.prod((10, 12, 14))), 60, (10, 12, 14),
+                          (3, 4, 5), (8, 8))
+    else:
+        shapes = TTShapes(1296, 36, (6, 6, 6, 6), (2, 3, 3, 2), (6, 6, 6))
+    cores = tuple(jnp.asarray(c) for c in
+                  tt_init.init_tt_cores(shapes, "normal", 0))
+    return shapes, cores
+
+
+@pytest.mark.parametrize("ndim", [2, 3, 4])
+def test_forward_family(ndim):
+    shapes, cores = _case_for(ndim)
+    idx = jnp.asarray(np.random.default_rng(ndim).integers(
+        0, shapes.num_embeddings, 384).astype(np.int32))
+    ref = tt_lookup_gather(shapes, cores, idx)
+    out = tt_lookup_pallas(shapes, cores, idx, block=128,
+                           compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("ndim", [2, 3, 4])
+def test_backward_family(ndim):
+    """tt_grads_pallas == dense-path core grads for every arity."""
+    from falcon_ttdforgnns_tpu.ops.tt_lookup import tt_core_grads
+    from falcon_ttdforgnns_tpu.ops.tt_pallas import tt_grads_pallas
+    shapes, cores = _case_for(ndim)
+    rng = np.random.default_rng(10 + ndim)
+    idx = jnp.asarray(rng.integers(0, shapes.num_embeddings, 256).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(256, shapes.embedding_dim)).astype(np.float32))
+    got = tt_grads_pallas(shapes, cores, idx, g, block=128,
+                          compute_dtype=jnp.float32)
+    want = tt_core_grads(shapes, cores, idx, g, dedup=False)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ndim", [2, 4])
+def test_fused_sgd_family(ndim):
+    from falcon_ttdforgnns_tpu.ops.tt_lookup import tt_core_grads
+    from falcon_ttdforgnns_tpu.ops.tt_pallas import tt_fused_sgd_pallas
+    shapes, cores = _case_for(ndim)
+    rng = np.random.default_rng(20 + ndim)
+    idx = jnp.asarray(rng.integers(0, shapes.num_embeddings, 200).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(200, shapes.embedding_dim)).astype(np.float32))
+    lr = 0.05
+    new = tt_fused_sgd_pallas(shapes, cores, idx, g, lr, block=128,
+                              compute_dtype=jnp.float32)
+    grads = tt_core_grads(shapes, cores, idx, g, dedup=False)
+    for nc, c, gr in zip(new, cores, grads):
+        np.testing.assert_allclose(np.asarray(nc), np.asarray(c - lr * gr),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_fused_sgd_matches_manual(case):
