@@ -80,7 +80,7 @@ def main(argv=None):
                     "normal", "uniform", "naive-uniform", "approx-normal",
                     "approx-uniform") else "approx-normal",
                 cache_size=args.cache_size if args.use_cached else 0,
-                tt_optimizer="sgd" if args.sparse else "adam",
+                tt_optimizer="sgd" if args.sparse else args.tt_optimizer,
                 sparse=args.sparse,
                 batch_count=args.batch_count,
                 mode=args.mode,

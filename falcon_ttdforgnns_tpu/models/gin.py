@@ -4,7 +4,8 @@ Re-design of the reference's OGB mol stack
 (`gnn_model.py:599-983`: GNN / GNN_node / GNN_node_Virtualnode / GINConv /
 GCNConv / BondEncoder): batched small graphs, bond-feature encoders, GIN
 or GCN convolutions, optional virtual-node channel, and the five graph
-pooling choices (sum / mean / max / attention / set2set-lite).
+pooling choices (sum / mean / max / attention / set2set — the last a
+full LSTM-query Set2Set matching dgl.nn.Set2Set(emb_dim, 2, 2)).
 
 Batched-graph representation (static shapes): a batch of G graphs is one
 COO edge list with a ``graph_id`` per node; pooling = segment ops over
@@ -104,6 +105,45 @@ class AttentionPool(nn.Module):
         return jax.ops.segment_sum(h * alpha, graph_id, num_segments=num_graphs)
 
 
+class Set2Set(nn.Module):
+    """Set2Set pooling (`gnn_model.py:964-969`: dgl.nn.Set2Set(emb_dim,
+    n_iters=2, n_layers=2)) — attention readout driven by a stacked LSTM
+    query; output dim is 2*emb_dim.  n_iters is tiny and static, so the
+    loop unrolls into straight-line XLA."""
+
+    emb_dim: int
+    n_iters: int = 2
+    n_layers: int = 2
+
+    @nn.compact
+    def __call__(self, h, graph_id, num_graphs):
+        d = self.emb_dim
+        cells = [nn.LSTMCell(d, name=f"lstm_{i}")
+                 for i in range(self.n_layers)]
+        states = [(jnp.zeros((num_graphs, d), h.dtype),
+                   jnp.zeros((num_graphs, d), h.dtype)) for _ in cells]
+        q_star = jnp.zeros((num_graphs, 2 * d), h.dtype)
+        for _ in range(self.n_iters):
+            x = q_star
+            new_states = []
+            for cell, st in zip(cells, states):
+                st, x = cell(st, x)
+                new_states.append(st)
+            states = new_states
+            q = x                                       # (G, d)
+            e = jnp.sum(h * jnp.take(q, graph_id, axis=0), axis=-1,
+                        keepdims=True)                  # (N, 1)
+            emax = jax.ops.segment_max(e, graph_id, num_segments=num_graphs)
+            emax = jnp.where(jnp.isfinite(emax), emax, 0.0)
+            ex = jnp.exp(e - jnp.take(emax, graph_id, axis=0))
+            denom = jax.ops.segment_sum(ex, graph_id, num_segments=num_graphs)
+            alpha = ex / jnp.maximum(jnp.take(denom, graph_id, axis=0), 1e-9)
+            r = jax.ops.segment_sum(h * alpha, graph_id,
+                                    num_segments=num_graphs)
+            q_star = jnp.concatenate([q, r], axis=-1)
+        return q_star
+
+
 class GNNNode(nn.Module):
     """Node-embedding stack, optionally with a virtual node channel
     (`gnn_model.py:692-860`): a per-graph latent that aggregates all node
@@ -170,6 +210,8 @@ class MolGNN(nn.Module):
             x, src, dst, edge_attr, graph_id, num_nodes, num_graphs, train)
         if self.pooling == "attention":
             hg = AttentionPool(name="pool")(h, graph_id, num_graphs)
+        elif self.pooling == "set2set":
+            hg = Set2Set(self.emb_dim, name="pool")(h, graph_id, num_graphs)
         else:
             hg = graph_pool(h, graph_id, num_graphs, self.pooling)
         return nn.Dense(self.num_tasks, name="graph_pred")(hg)

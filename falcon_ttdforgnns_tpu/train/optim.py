@@ -43,26 +43,51 @@ def _label_params(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def tt_adagrad(lr: float, eps: float = 1e-10) -> optax.GradientTransformation:
+    """Per-element adagrad with the REFERENCE's eps convention:
+    ``w -= lr * g / (sqrt(state) + eps)`` (`update_tt_cores_adagrad_kernel`,
+    cu:399-419).  optax.adagrad puts eps INSIDE the rsqrt, which floors
+    the normalization to lr*g/sqrt(eps) for the tiny first-step core
+    grads (cores init near zero so chain grads are ~1e-7) and freezes
+    training; the reference convention yields healthy ±lr sign-steps."""
+
+    def init(params):
+        return jax.tree.map(jnp.zeros_like, params)
+
+    def update(grads, state, params=None):
+        next_state = jax.tree.map(lambda g, a: a + g * g, grads, state)
+        updates = jax.tree.map(
+            lambda g, a: -lr * g / (jnp.sqrt(a) + eps), grads, next_state)
+        return updates, next_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def rowwise_adagrad(lr: float, eps: float = 1e-8) -> optax.GradientTransformation:
-    """Row-wise adagrad over (K, D) leaves: one accumulator per row —
-    semantics of ``cache_backward_rowwise_adagrad_approx``
-    (`FBTT/tt_embeddings_cuda.cu:1746-1846`)."""
+    """Row-wise adagrad: one accumulator per leading-axis row — semantics
+    of ``cache_backward_rowwise_adagrad_approx``
+    (`FBTT/tt_embeddings_cuda.cu:1746-1846`).  Works on (K, D) cache rows
+    and on (p, r, q, r') TT cores alike (accumulator over axis 0)."""
 
     def init(params):
         return jax.tree.map(
-            lambda p: jnp.zeros(p.shape[:1], p.dtype) if getattr(p, "ndim", 0) == 2
+            lambda p: jnp.zeros(p.shape[:1], p.dtype) if getattr(p, "ndim", 0) >= 2
             else jnp.zeros(()), params)
 
     def update(grads, state, params=None):
         def new_acc(g, acc):
-            if getattr(g, "ndim", 0) != 2:
+            nd = getattr(g, "ndim", 0)
+            if nd < 2:
                 return acc
-            return acc + jnp.mean(g * g, axis=1)
+            return acc + jnp.mean(g * g, axis=tuple(range(1, nd)))
 
         def upd(g, acc):
-            if getattr(g, "ndim", 0) != 2:
+            nd = getattr(g, "ndim", 0)
+            if nd < 2:
                 return -lr * g
-            return -(lr * jax.lax.rsqrt(acc + eps))[:, None] * g
+            # reference eps convention: lr / (sqrt(state) + eps), cu:1795
+            scale = lr / (jnp.sqrt(acc) + eps)
+            return -scale.reshape((-1,) + (1,) * (nd - 1)) * g
 
         next_state = jax.tree.map(new_acc, grads, state)
         updates = jax.tree.map(upd, grads, next_state)
@@ -74,7 +99,7 @@ def rowwise_adagrad(lr: float, eps: float = 1e-8) -> optax.GradientTransformatio
 def make_optimizer(
     lr: float = 0.003,
     weight_decay: float = 0.0,
-    tt_optimizer: str = "adam",      # adam | sgd (EXACT_SGD semantics)
+    tt_optimizer: str = "adam",      # adam | sgd | adagrad | rowwise_adagrad
     tt_lr: Optional[float] = None,
     cache_optimizer: str = "rowwise_adagrad",  # sgd | rowwise_adagrad | adam
     cache_lr: Optional[float] = None,
@@ -95,7 +120,19 @@ def make_optimizer(
             return optax.adamw(rate, weight_decay=weight_decay)
         return optax.adam(rate)
 
-    tt_tx = adam(tt_lr) if tt_optimizer == "adam" else optax.sgd(tt_lr)
+    # TT-core optimizer routing: adam / sgd (EXACT_SGD) / adagrad
+    # (`tt_adagrad_backward`, cu:721-754: per-element accumulator) /
+    # rowwise_adagrad (EXACT_ROWWISE_ADAGRAD semantics)
+    if tt_optimizer == "adam":
+        tt_tx = adam(tt_lr)
+    elif tt_optimizer == "sgd":
+        tt_tx = optax.sgd(tt_lr)
+    elif tt_optimizer == "adagrad":
+        tt_tx = tt_adagrad(tt_lr)
+    elif tt_optimizer == "rowwise_adagrad":
+        tt_tx = rowwise_adagrad(tt_lr)
+    else:
+        raise ValueError(f"unknown tt_optimizer {tt_optimizer!r}")
     if cache_optimizer == "sgd":
         cache_tx = optax.sgd(cache_lr)
     elif cache_optimizer == "adam":

@@ -87,7 +87,13 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "eff (Efficient_TT grouped prefix-dedup lookup), "
                         "dense (no TT)")
     t.add_argument("--sparse", action="store_true",
-                   help="EXACT_SGD-style TT-core updates (SGD instead of Adam)")
+                   help="EXACT_SGD-style TT-core updates via the fused "
+                        "Pallas backward+SGD kernel")
+    t.add_argument("--tt-optimizer", type=str, default="adam",
+                   choices=["adam", "sgd", "adagrad", "rowwise_adagrad"],
+                   help="TT-core optimizer routing (OptimType parity: "
+                        "tt_adagrad_backward cu:721-754, EXACT_ROWWISE_"
+                        "ADAGRAD); --sparse overrides to fused sgd")
     t.add_argument("--batch-count", type=int, default=65536,
                    help="lookup chunk size (VMEM budget knob, cu:1027 analog)")
 

@@ -28,7 +28,8 @@ def test_rgat_forward():
 
 
 @pytest.mark.parametrize("conv", ["gin", "gcn"])
-@pytest.mark.parametrize("pooling", ["sum", "mean", "max", "attention"])
+@pytest.mark.parametrize("pooling", ["sum", "mean", "max", "attention",
+                                     "set2set"])
 def test_mol_gnn(conv, pooling):
     """Batched molecular graphs: 4 graphs, ~10 nodes each."""
     rng = np.random.default_rng(1)

@@ -57,6 +57,47 @@ def test_rowwise_adagrad_semantics():
     np.testing.assert_allclose(np.asarray(up2["w"]), -2 / np.sqrt(8), rtol=1e-5)
 
 
+def test_tt_adagrad_routing():
+    """tt_optimizer='adagrad' => per-element accumulator semantics on the
+    cores (`tt_adagrad_backward`, cu:721-754): first-step update is
+    -lr * g / sqrt(g^2 + eps) = -lr (for unit grads, eps->0), and the
+    SECOND step shrinks by sqrt(2) — unlike sgd which stays constant."""
+    params = fake_params()
+    tx = make_optimizer(lr=0.1, tt_optimizer="adagrad", plateau=False)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    up1, state = tx.update(grads, state, params, value=jnp.float32(1.0))
+    u1 = float(np.asarray(up1["embed"]["tt_core_0"])[0, 0, 0, 0])
+    params = optax.apply_updates(params, up1)
+    up2, state = tx.update(grads, state, params, value=jnp.float32(1.0))
+    u2 = float(np.asarray(up2["embed"]["tt_core_0"])[0, 0, 0, 0])
+    np.testing.assert_allclose(u1, -0.1, rtol=1e-2)
+    np.testing.assert_allclose(u2, -0.1 / np.sqrt(2), rtol=1e-2)
+
+
+def test_tt_rowwise_adagrad_routing():
+    """tt_optimizer='rowwise_adagrad' => one accumulator per p-row of each
+    4-D core (EXACT_ROWWISE_ADAGRAD semantics)."""
+    params = fake_params()
+    tx = make_optimizer(lr=1.0, tt_optimizer="rowwise_adagrad", plateau=False)
+    state = tx.init(params)
+    grads = jax.tree.map(lambda p: 2.0 * jnp.ones_like(p), params)
+    up, _ = tx.update(grads, state, params, value=jnp.float32(1.0))
+    # acc = mean(g^2) over non-leading axes = 4; update = -2/sqrt(4) = -1
+    np.testing.assert_allclose(np.asarray(up["embed"]["tt_core_0"]), -1.0,
+                               rtol=1e-5)
+
+
+def test_rowwise_adagrad_on_4d_cores():
+    tx = rowwise_adagrad(lr=1.0)
+    p = {"c": jnp.ones((4, 2, 3, 2))}
+    st = tx.init(p)
+    assert st["c"].shape == (4,)
+    g = {"c": jnp.full((4, 2, 3, 2), 2.0)}
+    up, st = tx.update(g, st, p)
+    np.testing.assert_allclose(np.asarray(up["c"]), -1.0, rtol=1e-5)
+
+
 def test_plateau_reduces_lr():
     """Constant loss for > patience steps halves the effective step."""
     params = {"w": jnp.ones((3,))}
