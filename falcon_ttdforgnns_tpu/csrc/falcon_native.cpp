@@ -299,7 +299,11 @@ void bfs_grow(const Graph& g, int32_t k, uint64_t seed, std::vector<int32_t>& pa
     }
 }
 
-// one pass of greedy boundary refinement (KL/FM-lite with balance guard)
+// Greedy boundary refinement (KL/FM-style with balance guard).
+// Boundary-only worklist + stamped sparse gain accumulation: each visit
+// costs O(deg(u)) instead of O(deg(u) + k), and only boundary nodes (and
+// neighbors of moved nodes) are revisited — makes many passes affordable
+// at k=128 on multi-million-node graphs.
 void refine(const Graph& g, int32_t k, std::vector<int32_t>& part, int passes) {
   const int64_t n = g.n();
   std::vector<int64_t> size(k, 0);
@@ -308,26 +312,70 @@ void refine(const Graph& g, int32_t k, std::vector<int32_t>& part, int passes) {
   for (auto s : size) total_w += s;
   const int64_t cap = total_w / k + total_w / (4 * k) + 1;  // 1.25x balance
 
-  std::vector<int64_t> gain(k);
-  for (int pass = 0; pass < passes; ++pass) {
+  std::vector<int64_t> acc(k, 0);
+  std::vector<int64_t> stamp(k, -1);
+  std::vector<int32_t> touched;
+  touched.reserve(256);
+  std::vector<uint8_t> queued(n, 0);
+  std::vector<int32_t> queue;
+  queue.reserve(n / 8 + 16);
+  for (int64_t u = 0; u < n; ++u)
+    for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j)
+      if (part[g.indices[j]] != part[u]) {
+        queue.push_back(static_cast<int32_t>(u));
+        queued[u] = 1;
+        break;
+      }
+
+  int64_t version = 0;
+  std::vector<int32_t> next;
+  for (int pass = 0; pass < passes && !queue.empty(); ++pass) {
+    next.clear();
     int64_t moved = 0;
-    for (int64_t u = 0; u < n; ++u) {
+    for (int32_t u : queue) {
+      queued[u] = 0;
       const int32_t pu = part[u];
-      std::fill(gain.begin(), gain.end(), 0);
-      for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j)
-        gain[part[g.indices[j]]] += g.ew(j);
+      ++version;
+      touched.clear();
+      for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j) {
+        const int32_t p = part[g.indices[j]];
+        if (stamp[p] != version) {
+          stamp[p] = version;
+          acc[p] = 0;
+          touched.push_back(p);
+        }
+        acc[p] += g.ew(j);
+      }
+      const int64_t internal = (stamp[pu] == version) ? acc[pu] : 0;
+      const int32_t w = g.vwgt.empty() ? 1 : g.vwgt[u];
       int32_t best = pu;
-      for (int32_t p = 0; p < k; ++p)
-        if (p != pu && gain[p] > gain[best] && size[p] < cap) best = p;
-      if (best != pu && gain[best] > gain[pu]) {
-        const int32_t w = g.vwgt.empty() ? 1 : g.vwgt[u];
+      int64_t best_gain = internal;
+      for (int32_t p : touched)
+        if (p != pu && acc[p] > best_gain && size[p] + w <= cap) {
+          best = p;
+          best_gain = acc[p];
+        }
+      if (best != pu) {
         part[u] = best;
         size[pu] -= w;
         size[best] += w;
         ++moved;
+        // moved nodes change their neighbors' gains — revisit them
+        for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j) {
+          const int32_t v = g.indices[j];
+          if (!queued[v]) {
+            queued[v] = 1;
+            next.push_back(v);
+          }
+        }
+        if (!queued[u]) {
+          queued[u] = 1;
+          next.push_back(u);
+        }
       }
     }
     if (moved == 0) break;
+    std::swap(queue, next);
   }
 }
 
@@ -352,15 +400,30 @@ void partition_kway(const int64_t* indptr, const int32_t* indices,
     cmaps.push_back(std::move(cmap));
     levels.push_back(std::move(cg));
   }
+  // multi-restart initial partition: the coarsest graph is tiny, so try
+  // several BFS seedings + refinement and keep the best cut
   std::vector<int32_t> p;
-  part::bfs_grow(levels.back(), k, seed, p);
-  part::refine(levels.back(), k, p, 4);
+  int64_t best_cut = -1;
+  for (int trial = 0; trial < 4; ++trial) {
+    std::vector<int32_t> cand;
+    part::bfs_grow(levels.back(), k, seed + 1000003ULL * trial, cand);
+    part::refine(levels.back(), k, cand, 16);
+    const auto& cg = levels.back();
+    int64_t cut = 0;
+    for (int64_t u = 0; u < cg.n(); ++u)
+      for (int64_t j = cg.indptr[u]; j < cg.indptr[u + 1]; ++j)
+        if (cand[cg.indices[j]] != cand[u]) cut += cg.ew(j);
+    if (best_cut < 0 || cut < best_cut) {
+      best_cut = cut;
+      p = std::move(cand);
+    }
+  }
   for (int64_t l = static_cast<int64_t>(cmaps.size()) - 1; l >= 0; --l) {
     const auto& cmap = cmaps[l];
     std::vector<int32_t> fine(cmap.size());
     for (size_t v = 0; v < cmap.size(); ++v) fine[v] = p[cmap[v]];
     p = std::move(fine);
-    part::refine(levels[l], k, p, 2);
+    part::refine(levels[l], k, p, 8);
   }
   std::copy(p.begin(), p.end(), out_part);
 }
