@@ -72,6 +72,7 @@ def main(argv=None):
             cfg = TrainConfig(
                 batch_size=args.batch, fanouts=tuple(args.fan_out),
                 epochs=args.epochs, lr=args.lr, dropout=args.dropout,
+                weight_decay=args.wd,
                 hidden_dim=args.num_hidden, num_layers=args.num_layers,
                 use_tt=args.use_tt, tt_ranks=tuple(tt_ranks),
                 p_shapes=tuple(args.p_shapes) if args.p_shapes else None,

@@ -36,6 +36,7 @@ class TrainConfig:
     fanouts: Tuple[int, ...] = (5, 10, 15)
     epochs: int = 2
     lr: float = 0.003
+    weight_decay: float = 0.0
     dropout: float = 0.5
     hidden_dim: int = 256
     num_layers: int = 3
@@ -109,7 +110,8 @@ class SageTrainer:
             grouped=cfg.grouped,
         )
         self.tx = make_optimizer(
-            lr=cfg.lr, tt_optimizer=cfg.tt_optimizer,
+            lr=cfg.lr, weight_decay=cfg.weight_decay,
+            tt_optimizer=cfg.tt_optimizer,
             plateau_patience=cfg.plateau_patience)
         self.loader = NeighborLoader(
             dataset.graph, dataset.train_idx, dataset.labels,

@@ -1,0 +1,85 @@
+"""TT Pallas kernel micro-bench at products training shapes (918K ids =
+one batch-1024 fanout-(5,10,15) step's lookup traffic).
+
+Methodology: K data-dependent iterations in one jitted fori_loop, arrays
+passed as jit arguments (closures would bake GBs of constants), indices
+rotated per iteration.  Run on the real chip; nothing else may hold it.
+"""
+
+import os, sys, time
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from falcon_ttdforgnns_tpu.ops import make_tt_shapes, tt_init
+from falcon_ttdforgnns_tpu.ops.tt_pallas import (tt_lookup_pallas,
+                                                 tt_grads_pallas,
+                                                 tt_fused_sgd_pallas)
+
+K = int(os.environ.get("PROBE_K", "32"))
+B = int(os.environ.get("PROBE_B", str(918_528)))  # multiple of 1024
+
+
+def timed(name, loop, *args):
+    float(loop(jnp.int32(0), *args))  # compile + warm; float() forces the
+    # host readback — the relay's block_until_ready can return early
+    t0 = time.perf_counter()
+    float(loop(jnp.int32(1), *args))
+    dt = (time.perf_counter() - t0) / K
+    print(f"{name:24s} {dt*1e3:9.3f} ms / {B} ids", flush=True)
+    return dt
+
+
+def main():
+    print(f"backend={jax.default_backend()} B={B} K={K}", flush=True)
+    shapes = make_tt_shapes(2_449_029, 100, (16, 16), (125, 140, 140),
+                            (4, 5, 5))
+    cores = tuple(jnp.asarray(c) for c in
+                  tt_init.init_tt_cores(shapes, "normal", seed=0))
+    Nn = shapes.num_embeddings
+
+    @jax.jit
+    def gen(key):
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.randint(k1, (B,), 0, Nn, jnp.int32)
+        g = jax.random.normal(k2, (B, shapes.embedding_dim), jnp.float32)
+        return idx, g
+    idx, g = jax.block_until_ready(gen(jax.random.PRNGKey(0)))
+    print("data generated", flush=True)
+
+    @jax.jit
+    def fwd_loop(off0, cores, idx):
+        def body(i, carry):
+            s, off = carry
+            out = tt_lookup_pallas(shapes, cores, (idx + off) % Nn)
+            return (s + out.sum(), off + 1)
+        s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0), off0))
+        return s
+
+    @jax.jit
+    def bwd_loop(off0, cores, idx, g):
+        def body(i, carry):
+            s, off = carry
+            grads = tt_grads_pallas(shapes, cores, (idx + off) % Nn, g)
+            return (s + sum(x.sum() for x in grads), off + 1)
+        s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0), off0))
+        return s
+
+    @jax.jit
+    def sgd_loop(off0, cores, idx, g):
+        def body(i, carry):
+            cores, off = carry
+            cores = tt_fused_sgd_pallas(shapes, cores, (idx + off) % Nn, g,
+                                        lr=0.01)
+            return (cores, off + 1)
+        cores, _ = jax.lax.fori_loop(0, K, body, (cores, off0))
+        return cores[0].sum()
+
+    timed("pallas forward", fwd_loop, cores, idx)
+    timed("pallas backward", bwd_loop, cores, idx, g)
+    timed("pallas fused-sgd", sgd_loop, cores, idx, g)
+
+
+if __name__ == "__main__":
+    main()

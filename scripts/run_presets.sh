@@ -47,12 +47,31 @@ case "$PRESET" in
   p3|run-one)         # single fwd/bwd step (profiling, run_script.sh:201-222)
     "${PY[@]}" --model sage --dataset ogbn-products --use-tt --run-one \
       --tt-rank 16,16 --batch 1024 --fan-out 5,10,15 ;;
-  smoke)              # tiny CPU smoke run
+  puregpu)            # device-resident graph + on-device sampling (fastest
+                      # TPU path: per-dispatch transfer is seeds+labels only)
+    "${PY[@]}" --model sage --dataset ogbn-products --use-tt \
+      --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 4,5,5 \
+      --mode puregpu --steps-per-call 48 --partition 128 \
+      --batch 1024 --fan-out 5,10,15 --epochs 2 ;;
+  sparse-fused)       # fused Pallas backward+SGD TT-core updates
+    "${PY[@]}" --model sage --dataset ogbn-products --use-tt \
+      --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 4,5,5 \
+      --sparse --partition 128 \
+      --batch 1024 --fan-out 5,10,15 --epochs 2 ;;
+  full-neighbor)      # exact-aggregation training (NoTT-FullNeighbor rows)
+    "${PY[@]}" --model sage --dataset ogbn-products --no-tt \
+      --full-neighbor --batch 1024 --epochs 2 ;;
+  node-shard)         # node-space-sharded layer-wise inference (multi-chip)
+    "${PY[@]}" --model sage --dataset ogbn-papers100M --use-tt \
+      --tt-rank 16,16 --p-shapes 400,500,600 --q-shapes 4,4,8 \
+      --node-shard --sparse --batch 1024 --fan-out 5,10,15 --epochs 2 ;;
+  smoke)              # tiny CPU smoke run (partition 4: locality reorder —
+                      # the default 0 random-permutes ids, reference parity)
     "${PY[@]}" --device cpu --model sage --dataset smoke --synthetic-scale 1 \
       --batch 128 --fan-out 4,4 --num-hidden 32 --num-layers 2 \
-      --tt-rank 4,4 --init normal --epochs 2 --eval-every 2 ;;
+      --tt-rank 4,4 --init normal --epochs 2 --eval-every 2 --partition 4 ;;
   *)
     echo "unknown preset: $PRESET" >&2
-    echo "presets: baseline fbtt-products final-p final-p2 gcn gat final-papers autotuning dist run-one smoke" >&2
+    echo "presets: baseline fbtt-products final-p final-p2 gcn gat final-papers autotuning dist puregpu sparse-fused full-neighbor node-shard run-one smoke" >&2
     exit 1 ;;
 esac

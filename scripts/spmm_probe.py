@@ -8,37 +8,42 @@ Candidates for out[v] = sum_{u->v} h[u]:
   fused         take+segment_sum in one jit              (current spmm_sum)
   padded        h[nbr (N,w)] .sum(1)  gather-only padded-CSR (no scatter)
 
-Timing: K iterations inside one jitted fori_loop; every iteration's
-indices depend on an evolving carry offset (loop-invariant code motion
-cannot hoist the body; the axon relay lies under block_until_ready for
-single ops)."""
+Methodology notes (each cost hours to learn — keep):
+  - data is generated ON DEVICE (multi-GB host->device through the axon
+    relay takes minutes);
+  - arrays are passed as jit ARGUMENTS — a closure would bake them into
+    the program as constants and re-upload GBs per candidate;
+  - K iterations inside one jitted fori_loop with an evolving index
+    offset and a full-output sum fold (loop-invariant code motion and
+    elementwise DCE both defeated).
+"""
 
 import os, sys, time
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-K = int(os.environ.get("PROBE_K", "8"))
+K = int(os.environ.get("PROBE_K", "32"))
+N, D = 2_449_029, 256
+E = 4_000_000
 
 
-def timed(name, fn, flops=None, bytes_=None):
-    """fn(offset:int32 scalar) -> array; executed K times with evolving
-    offset, output folded into a scalar carry."""
+def timed(name, fn, args, flops=None, bytes_=None):
     @jax.jit
-    def loop(off0):
+    def loop(off0, args):
         def body(i, carry):
             s, off = carry
-            out = fn(off)
-            # full-output reduction: a single-element fold would let XLA
-            # DCE most of a pure gather
+            out = fn(off, *args)
             return (s + out.sum(), off + 1)
         s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0), off0))
         return s
 
-    out = jax.block_until_ready(loop(jnp.int32(0)))   # compile+warm
+    float(loop(jnp.int32(0), args))   # compile + warm; float() forces the
+    # host readback — the relay's block_until_ready can return early
     t0 = time.perf_counter()
-    out = jax.block_until_ready(loop(jnp.int32(1)))
+    float(loop(jnp.int32(1), args))
     dt = (time.perf_counter() - t0) / K
     msg = f"{name:30s} {dt*1e3:9.3f} ms"
     if bytes_:
@@ -49,12 +54,33 @@ def timed(name, fn, flops=None, bytes_=None):
     return dt
 
 
+def c_gather(off, h, src):
+    return jnp.take(h, (src + off) % N, axis=0)
+
+
+def c_segsum(off, msgs, dst):
+    return jax.ops.segment_sum(msgs * (1.0 + 1e-12 * off), dst,
+                               num_segments=N, indices_are_sorted=True)
+
+
+def c_segsum_unsorted(off, msgs, dst):
+    return jax.ops.segment_sum(msgs * (1.0 + 1e-12 * off), dst,
+                               num_segments=N, indices_are_sorted=False)
+
+
+def c_scatter(off, msgs, dst):
+    return jnp.zeros((N, D), jnp.float32).at[dst].add(
+        msgs * (1.0 + 1e-12 * off), indices_are_sorted=True)
+
+
+def c_fused(off, h, src, dst):
+    return jax.ops.segment_sum(jnp.take(h, (src + off) % N, axis=0), dst,
+                               num_segments=N, indices_are_sorted=True)
+
+
 def main():
     print(f"backend={jax.default_backend()}", flush=True)
-    N, D = 2_449_029, 256
-    E = 4_000_000
-    # generate ON DEVICE — multi-GB host->device transfers through the
-    # axon relay take minutes and are not what we're measuring
+
     @jax.jit
     def gen(key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -66,34 +92,18 @@ def main():
     h, src, dst_sorted, msgs = jax.block_until_ready(gen(jax.random.PRNGKey(0)))
     print("data generated", flush=True)
 
-    timed("gather E rows",
-          lambda off: jnp.take(h, (src + off) % N, axis=0),
-          bytes_=E * D * 4)
-
-    timed("segment_sum sorted",
-          lambda off: jax.ops.segment_sum(
-              msgs * (1.0 + 1e-12 * off), dst_sorted, num_segments=N,
-              indices_are_sorted=True),
+    timed("gather E rows", c_gather, (h, src), bytes_=E * D * 4)
+    timed("segment_sum sorted", c_segsum, (msgs, dst_sorted),
           bytes_=E * D * 4 + N * D * 4)
-
-    timed("segment_sum unsorted-flag",
-          lambda off: jax.ops.segment_sum(
-              msgs * (1.0 + 1e-12 * off), dst_sorted, num_segments=N,
-              indices_are_sorted=False),
+    timed("segment_sum unsorted-flag", c_segsum_unsorted, (msgs, dst_sorted),
           bytes_=E * D * 4 + N * D * 4)
-
-    timed("scatter .at[].add sorted",
-          lambda off: jnp.zeros((N, D), jnp.float32).at[dst_sorted].add(
-              msgs * (1.0 + 1e-12 * off), indices_are_sorted=True),
+    timed("scatter .at[].add sorted", c_scatter, (msgs, dst_sorted),
           bytes_=E * D * 4 + N * D * 4)
-
-    timed("gather+segsum fused",
-          lambda off: jax.ops.segment_sum(
-              jnp.take(h, (src + off) % N, axis=0), dst_sorted,
-              num_segments=N, indices_are_sorted=True),
+    timed("gather+segsum fused", c_fused, (h, src, dst_sorted),
           bytes_=2 * E * D * 4)
 
     Nb, w = 131072, 64
+
     @jax.jit
     def gen2(key):
         k1, k2 = jax.random.split(key)
@@ -102,16 +112,20 @@ def main():
         return nbr, mask
     nbr, mask = jax.block_until_ready(gen2(jax.random.PRNGKey(9)))
 
-    timed(f"padded ({Nb}x{w}) gather+sum",
-          lambda off: (jnp.take(h, ((nbr + off) % N).reshape(-1), axis=0)
-                       .reshape(Nb, w, D) * mask[:, :, None]).sum(axis=1),
+    def c_padded(off, h, nbr, mask):
+        rows = jnp.take(h, ((nbr + off) % N).reshape(-1), axis=0)
+        return (rows.reshape(Nb, w, D) * mask[:, :, None]).sum(axis=1)
+
+    timed(f"padded ({Nb}x{w}) gather+sum", c_padded, (h, nbr, mask),
           bytes_=Nb * w * D * 4)
 
-    # chunked scatter path (current spmm_sum_chunked shape)
     from falcon_ttdforgnns_tpu.ops.segment import spmm_sum_chunked
-    timed("spmm_sum_chunked 2M",
-          lambda off: spmm_sum_chunked(h, (src + off) % N, dst_sorted, N,
-                                       chunk=1 << 21, sorted_dst=True),
+
+    def c_chunked(off, h, src, dst):
+        return spmm_sum_chunked(h, (src + off) % N, dst, N,
+                                chunk=1 << 21, sorted_dst=True)
+
+    timed("spmm_sum_chunked 2M", c_chunked, (h, src, dst_sorted),
           bytes_=2 * E * D * 4)
 
 
