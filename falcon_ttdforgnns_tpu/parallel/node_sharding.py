@@ -129,3 +129,65 @@ def sharded_layerwise_inference(mesh: Mesh, model_apply, variables,
         agg = ring_spmm(mesh, h, src_b, dst_b, w_b, axis) / deg
         h = model_apply(variables, h, agg, li)
     return h
+
+
+def make_node_sharded_full_step(model, tx, mesh: Mesh, num_nodes: int,
+                                num_nodes_pad: int, num_layers: int,
+                                axis: str = "node"):
+    """Node-sharded full-neighbor TRAINING step (papers100M regime): the
+    (N, D) activation tensors never exist on one device — features are
+    TT-materialized row-sharded (cores replicated, each shard looks up its
+    own rows), every layer aggregates via the differentiable ring SpMM
+    (ppermute transposes to the reverse rotation in backward), conv
+    transforms stay row-parallel, and the loss reads the minibatch seeds'
+    logits.  Gradients of the replicated params are psum'd by XLA.
+
+    TPU-native counterpart of training at a scale the reference could
+    not reach (SURVEY §2.4 / §5.7: node-space sharding is the missing
+    axis); semantics match SAGE.forward_full_graph exactly
+    (tests/test_parallel.py parity)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P(axis, None))
+
+    def step(variables, opt_state, src_b, dst_b, w_b, in_deg, seeds, labels,
+             rng):
+        params = variables["params"]
+        aux = {k: v for k, v in variables.items() if k != "params"}
+        deg = jnp.maximum(in_deg, 1.0)[:, None]
+
+        def loss_fn(p):
+            ids = jnp.minimum(jnp.arange(num_nodes_pad, dtype=jnp.int32),
+                              num_nodes - 1)  # pad rows: clamped, edgeless
+            ids = jax.lax.with_sharding_constraint(
+                ids, NamedSharding(mesh, P(axis)))
+            h = model.apply({"params": p, **aux}, ids,
+                            method=type(model).materialize_features)
+            h = jax.lax.with_sharding_constraint(h, rows)
+            for li in range(num_layers):
+                agg = ring_spmm(mesh, h, src_b, dst_b, w_b, axis) / deg
+                h = model.apply({"params": p, **aux}, h, agg, li,
+                                method=type(model).apply_conv)
+                h = jax.lax.with_sharding_constraint(h, rows)
+            logits = jnp.take(h, seeds, axis=0)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, new_opt = tx.update(grads, opt_state, params, value=loss)
+        new_params = optax.apply_updates(params, updates)
+        acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+        return {"params": new_params, **aux}, new_opt, loss, acc
+
+    bspec = NamedSharding(mesh, P(axis, None, None))
+    vec = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, bspec, bspec, bspec, vec, repl, repl, repl),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1),
+    )

@@ -145,9 +145,20 @@ class SageTrainer:
             self.variables = replicate(self.mesh, self.variables)
             self.opt_state = replicate(self.mesh, self.opt_state)
         elif not cfg.use_sample:
-            # full-neighbor training (`--full-neighbor`)
+            # full-neighbor training (`--full-neighbor`); with --node-shard
+            # on a multi-device mesh the activations are row-sharded and
+            # aggregation runs as ring SpMM (papers100M training regime)
             self._step_fn = self._build_step()       # run-one compatibility
-            self._full_step_fn = self._build_full_neighbor_step()
+            self._nshard_train = cfg.node_shard and jax.device_count() > 1
+            if self._nshard_train:
+                from ..parallel import make_mesh
+                from ..parallel.node_sharding import make_node_sharded_full_step
+                n = cfg.num_chips if cfg.num_chips > 0 else jax.device_count()
+                self._nshard_mesh = make_mesh(n_data=1, n_node=n,
+                                              devices=jax.devices()[:n])
+                self._full_step_fn = None  # built after graph placement
+            else:
+                self._full_step_fn = self._build_full_neighbor_step()
         elif cfg.mode == "puregpu":
             # device-side sampling composes with the fused-sparse body
             self._fused_sparse = self._want_fused_sparse()
@@ -166,6 +177,11 @@ class SageTrainer:
             self._step_fn = self._build_step()
         if cfg.mode == "puregpu" or not cfg.use_sample:
             self._put_graph_on_device()
+        if getattr(self, "_nshard_train", False):
+            from ..parallel.node_sharding import make_node_sharded_full_step
+            self._full_step_fn = make_node_sharded_full_step(
+                self.model, self.tx, self._nshard_mesh, self.ds.num_nodes,
+                self._nshard_pad, cfg.num_layers)
         if cfg.mode == "puregpu" and cfg.cache_size > 0 and logger:
             logger.warning("--mode puregpu samples on device; host LFU "
                            "frequencies are unavailable (cache populate "
@@ -197,6 +213,20 @@ class SageTrainer:
             self._src_dev = jnp.asarray(src.astype(np.int32))
             self._dst_dev = jnp.asarray(dst.astype(np.int32))
             self._indeg_dev = jnp.asarray(g.degrees.astype(np.float32))
+            if self.cfg.node_shard and jax.device_count() > 1:
+                from ..parallel.node_sharding import partition_edges_by_block
+                n_dev = (self.cfg.num_chips if self.cfg.num_chips > 0
+                         else jax.device_count())
+                src_b, dst_b, w_b, block = partition_edges_by_block(
+                    src.astype(np.int64), dst.astype(np.int64),
+                    g.num_nodes, n_dev)
+                self._nshard_blocks = (jnp.asarray(src_b), jnp.asarray(dst_b),
+                                       jnp.asarray(w_b))
+                n_pad = block * n_dev
+                deg_pad = np.ones((n_pad,), np.float32)
+                deg_pad[:g.num_nodes] = g.degrees
+                self._nshard_deg = jnp.asarray(deg_pad)
+                self._nshard_pad = n_pad
 
     def _dummy_batch(self):
         B = self.cfg.batch_size
@@ -638,9 +668,15 @@ class SageTrainer:
             seeds = jnp.asarray(pick.astype(np.int32))
             labels = jnp.asarray(self.ds.labels[pick].astype(np.int32))
             rng, sub = jax.random.split(rng)
-            self.variables, self.opt_state, loss, acc = self._full_step_fn(
-                self.variables, self.opt_state, self._src_dev, self._dst_dev,
-                self._indeg_dev, seeds, labels, sub)
+            if getattr(self, "_nshard_train", False):
+                sb, db, wb = self._nshard_blocks
+                self.variables, self.opt_state, loss, acc = self._full_step_fn(
+                    self.variables, self.opt_state, sb, db, wb,
+                    self._nshard_deg, seeds, labels, sub)
+            else:
+                self.variables, self.opt_state, loss, acc = self._full_step_fn(
+                    self.variables, self.opt_state, self._src_dev,
+                    self._dst_dev, self._indeg_dev, seeds, labels, sub)
             self.step += 1
             losses.append(loss); accs.append(acc)
             if (b + 1) % cfg.log_every == 0:

@@ -192,3 +192,16 @@ class TestNodeShardInference:
         tr.cfg.node_shard = True
         out = tr.infer_full_sharded()
         np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+class TestNodeShardTraining:
+    @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+    def test_full_neighbor_node_shard_trains(self):
+        """--full-neighbor + --node-shard: the trainer routes through the
+        ring-SpMM sharded step and trains."""
+        ds = small_ds(n=400)
+        tr = SageTrainer(ds, small_cfg(use_sample=False, node_shard=True,
+                                       batch_size=32))
+        assert getattr(tr, "_nshard_train", False)
+        stats = tr.train_epoch(0)
+        assert np.isfinite(stats["loss"])
