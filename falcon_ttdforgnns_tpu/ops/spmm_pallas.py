@@ -168,6 +168,64 @@ def _seg_mm_chunk(NR: int, E_t: int, D: int, n_tiles: int, n_blocks: int,
     )(blk_local, first, dstl, w, msgs)
 
 
+def _tile_mm_kernel(NR: int, E_t: int, compute_dtype,
+                    dstl_ref, w_ref, msgs_ref, out_ref):
+    """Per-tile partial: out_tile (NR, D) = onehot(dstl)*w @ msgs.
+    Static t->t output map — no scalar prefetch, no revisiting, no
+    data-dependent index maps (all Mosaic features that proved fragile
+    through the remote compiler)."""
+    dstl = dstl_ref[:]
+    w = w_ref[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (NR, E_t), 0)
+    A = jnp.where(rows == dstl[None, :], w[None, :], 0.0).astype(compute_dtype)
+    out_ref[:, :] = jnp.dot(A, msgs_ref[:, :].astype(compute_dtype),
+                            preferred_element_type=jnp.float32)
+
+
+def spmm_sum_tile_partials(h: jax.Array, src: jax.Array, dstl: jax.Array,
+                           w: jax.Array, blk: jax.Array, num_blocks: int,
+                           block_rows: int, tile_edges: int, num_nodes: int,
+                           compute_dtype=None,
+                           interpret: Optional[bool] = None) -> jax.Array:
+    """Tiled SpMM, two stages: (1) Pallas grid computes one (NR, D)
+    partial per tile via the one-hot MXU matmul; (2) XLA segment-sums the
+    per-tile partials over their block ids (T rows of NR*D — tiny next to
+    the edge stream).  Array args are the FLAT SpmmTiles fields passed as
+    traced jit arguments."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if compute_dtype is None:
+        compute_dtype = jnp.float32 if interpret else jnp.bfloat16
+    NR, E_t, D = block_rows, tile_edges, h.shape[1]
+    T = blk.shape[0]
+    gather_dtype = jnp.float32 if interpret else jnp.bfloat16
+
+    msgs = jnp.take(h.astype(gather_dtype), src, axis=0)
+    partials = pl.pallas_call(
+        functools.partial(_tile_mm_kernel, NR, E_t, compute_dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((E_t,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E_t,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E_t, D), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NR, D), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T * NR, D), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * NR * E_t * D,
+            bytes_accessed=T * E_t * (D * 4 + 8) + T * NR * D * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(dstl, w, msgs)
+    # combine tiles per block: (T, NR*D) rows, sorted segment ids
+    per_block = jax.ops.segment_sum(
+        partials.reshape(T, NR * D), blk, num_segments=num_blocks,
+        indices_are_sorted=True)
+    return per_block.reshape(num_blocks * NR, D)[:num_nodes]
+
+
 def auto_tile_edges(num_edges: int, num_nodes: int,
                     block_rows: int = 128) -> int:
     """Pick E_t near the average edges-per-block so low-degree graphs
@@ -208,6 +266,100 @@ def spmm_sum_tiled_arrays(h: jax.Array, src: jax.Array, dstl: jax.Array,
             w[t0 * E_t:t1 * E_t],
             msgs)
         out = jax.lax.dynamic_update_slice(out, part, (blk0 * NR, 0))
+    return out[:num_nodes]
+
+
+@dataclass
+class SpmmTilesU:
+    """Uniform-chunk tiling: every chunk has exactly TC tiles and defines
+    exactly NBC output blocks (pad tiles with first=1, w=0 zero-define the
+    missing blocks), so ONE Pallas kernel shape serves the whole edge
+    stream via ``lax.scan`` — a varying-shape chunk list costs one Mosaic
+    compile PER CHUNK (minutes each through a remote-attached TPU)."""
+
+    src: np.ndarray      # (C, TC*E_t) int32
+    dstl: np.ndarray     # (C, TC*E_t) int32
+    w: np.ndarray        # (C, TC*E_t) f32
+    blkl: np.ndarray     # (C, TC) int32 chunk-local block ids
+    first: np.ndarray    # (C, TC) int32
+    blk0: np.ndarray     # (C,) int32 first global block of the chunk
+    num_blocks_padded: int
+    blocks_per_chunk: int   # NBC
+    block_rows: int         # NR
+    tile_edges: int         # E_t
+
+
+def build_spmm_tiles_uniform(src: np.ndarray, dst: np.ndarray,
+                             num_nodes: int,
+                             edge_weight: Optional[np.ndarray] = None,
+                             block_rows: int = 128, tile_edges: int = 2048,
+                             tiles_per_chunk: int = 1024) -> SpmmTilesU:
+    """Uniform-chunk tiler over dst-SORTED edges (see SpmmTilesU)."""
+    flat = build_spmm_tiles(src, dst, num_nodes, edge_weight,
+                            block_rows, tile_edges,
+                            max_chunk_tiles=tiles_per_chunk)
+    NR, E_t = block_rows, tile_edges
+    chunks = flat.chunks
+    C = len(chunks)
+    NBC = max(nblk for (_, _, _, nblk) in chunks)
+    TC = max((t1 - t0) + (NBC - nblk) for (t0, t1, _, nblk) in chunks)
+
+    src_u = np.zeros((C, TC * E_t), np.int32)
+    dstl_u = np.zeros((C, TC * E_t), np.int32)
+    w_u = np.zeros((C, TC * E_t), np.float32)
+    blkl_u = np.zeros((C, TC), np.int32)
+    first_u = np.zeros((C, TC), np.int32)
+    blk0_u = np.zeros(C, np.int32)
+    for c, (t0, t1, blk0, nblk) in enumerate(chunks):
+        nt = t1 - t0
+        src_u[c, :nt * E_t] = flat.src[t0 * E_t:t1 * E_t]
+        dstl_u[c, :nt * E_t] = flat.dstl[t0 * E_t:t1 * E_t]
+        w_u[c, :nt * E_t] = flat.w[t0 * E_t:t1 * E_t]
+        blkl_u[c, :nt] = flat.blk[t0:t1] - blk0
+        first_u[c, :nt] = flat.first[t0:t1]
+        blk0_u[c] = blk0
+        # pad tiles: zero-define blocks [nblk, NBC) (overwritten by the
+        # next chunk's rows, or left as zero padding after the last)
+        for j in range(NBC - nblk):
+            blkl_u[c, nt + j] = nblk + j
+            first_u[c, nt + j] = 1
+        # remaining pad tiles revisit the last defined block with w=0
+        for j in range(nt + (NBC - nblk), TC):
+            blkl_u[c, j] = NBC - 1
+    nbp = int(blk0_u[-1]) + NBC
+    return SpmmTilesU(src=src_u, dstl=dstl_u, w=w_u, blkl=blkl_u,
+                      first=first_u, blk0=blk0_u, num_blocks_padded=nbp,
+                      blocks_per_chunk=NBC, block_rows=NR, tile_edges=E_t)
+
+
+def spmm_sum_tiled_uniform(h: jax.Array, src: jax.Array, dstl: jax.Array,
+                           w: jax.Array, blkl: jax.Array, first: jax.Array,
+                           blk0: jax.Array, num_blocks_padded: int,
+                           blocks_per_chunk: int, block_rows: int,
+                           tile_edges: int, num_nodes: int,
+                           compute_dtype=None,
+                           interpret: Optional[bool] = None) -> jax.Array:
+    """Uniform-chunk SpMM: lax.scan over chunks, one kernel shape.
+    Array args are (C, ...) stacked chunk arrays from SpmmTilesU."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if compute_dtype is None:
+        compute_dtype = jnp.float32 if interpret else jnp.bfloat16
+    NR, E_t, NBC = block_rows, tile_edges, blocks_per_chunk
+    D = h.shape[1]
+    TC = blkl.shape[1]
+    gather_dtype = jnp.float32 if interpret else jnp.bfloat16
+    h_g = h.astype(gather_dtype)
+
+    def body(out, xs):
+        s, dl, ww, bl, fi, b0 = xs
+        msgs = jnp.take(h_g, s, axis=0)
+        part = _seg_mm_chunk(NR, E_t, D, TC, NBC, compute_dtype, interpret,
+                             bl, fi, dl, ww, msgs)
+        return jax.lax.dynamic_update_slice(out, part, (b0 * NR, 0)), None
+
+    out0 = jnp.zeros((num_blocks_padded * NR, D), jnp.float32)
+    out, _ = jax.lax.scan(body, out0, (src, dstl, w, blkl, first, blk0))
     return out[:num_nodes]
 
 

@@ -811,20 +811,20 @@ class SageTrainer:
             )
             if use_tiled:
                 from ..ops.spmm_pallas import (auto_tile_edges,
-                                               build_spmm_tiles)
+                                               build_spmm_tiles_uniform)
                 e_t = auto_tile_edges(len(src), n)
-                # bound the per-chunk gathered msgs to ~2 GB bf16
-                mct = max(512, (1 << 31) // (e_t * 256 * 2))
-                tiles = build_spmm_tiles(src.astype(np.int32), dst, n,
-                                         tile_edges=e_t,
-                                         max_chunk_tiles=mct)
-                self._eval_tiles_meta = (tuple(tiles.chunks),
-                                         tiles.num_blocks,
-                                         tiles.block_rows, tiles.tile_edges)
+                # bound the per-chunk gathered msgs to ~1 GB bf16
+                tpc = max(256, (1 << 30) // (e_t * 256 * 2))
+                tu = build_spmm_tiles_uniform(src.astype(np.int32), dst, n,
+                                              tile_edges=e_t,
+                                              tiles_per_chunk=tpc)
+                self._eval_tiles_meta = (tu.num_blocks_padded,
+                                         tu.blocks_per_chunk,
+                                         tu.block_rows, tu.tile_edges)
                 self._eval_args = (
-                    jnp.asarray(tiles.src), jnp.asarray(tiles.dstl),
-                    jnp.asarray(tiles.w), jnp.asarray(tiles.blk),
-                    jnp.asarray(tiles.first)) + common
+                    jnp.asarray(tu.src), jnp.asarray(tu.dstl),
+                    jnp.asarray(tu.w), jnp.asarray(tu.blkl),
+                    jnp.asarray(tu.first), jnp.asarray(tu.blk0)) + common
             else:
                 self._eval_args = (
                     jnp.asarray(src.astype(np.int32)),
@@ -832,20 +832,20 @@ class SageTrainer:
 
         if not hasattr(self, "_eval_fn"):
             if use_tiled:
-                from ..ops.spmm_pallas import spmm_sum_tiled_arrays
-                chunks, nb, NR, E_t = self._eval_tiles_meta
+                from ..ops.spmm_pallas import spmm_sum_tiled_uniform
+                nbp, nbc, NR, E_t = self._eval_tiles_meta
 
                 @jax.jit
-                def eval_fn(variables, tsrc, tdstl, tw, tblk, tfirst, deg,
-                            labels, tr_i, va_i, te_i):
+                def eval_fn(variables, tsrc, tdstl, tw, tblkl, tfirst,
+                            tblk0, deg, labels, tr_i, va_i, te_i):
                     ids = jnp.arange(n, dtype=jnp.int32)
                     h = self.model.apply(variables, ids,
                                          method=SAGE.materialize_features)
                     degc = jnp.maximum(deg, 1.0)[:, None]
                     for li in range(cfg.num_layers):
-                        agg = spmm_sum_tiled_arrays(
-                            h, tsrc, tdstl, tw, tblk, tfirst, chunks, nb,
-                            NR, E_t, n) / degc
+                        agg = spmm_sum_tiled_uniform(
+                            h, tsrc, tdstl, tw, tblkl, tfirst, tblk0,
+                            nbp, nbc, NR, E_t, n) / degc
                         h = self.model.apply(variables, h, agg, li,
                                              method=SAGE.apply_conv)
                     pred = jnp.argmax(h, -1)

@@ -9,9 +9,9 @@ import jax.numpy as jnp
 
 from falcon_ttdforgnns_tpu.ops.spmm_pallas import build_spmm_tiles, spmm_sum_tiled
 
-N, D = 2_449_029, 256
-E = 4_000_000
-K = int(os.environ.get("PROBE_K", "16"))
+N, D = 409_600, 256   # avg degree ~20: products-like block density
+E = 8_000_000
+K = int(os.environ.get("PROBE_K", "8"))
 
 
 def main():
@@ -23,7 +23,7 @@ def main():
     for NR, E_t in ((128, 1024), (128, 2048), (256, 2048)):
         t0 = time.time()
         tiles = build_spmm_tiles(src, dst, N, block_rows=NR, tile_edges=E_t,
-                                 max_chunk_tiles=1 << 30)
+                                 max_chunk_tiles=2048)
         T = len(tiles.blk)
         print(f"NR={NR} E_t={E_t}: T={T} tiles, pad factor "
               f"{T*E_t/E:.2f}, host tiling {time.time()-t0:.1f}s",
@@ -34,18 +34,16 @@ def main():
             return jax.random.normal(key, (N, D), jnp.float32)
         h = jax.block_until_ready(gen(jax.random.PRNGKey(0)))
 
+        from falcon_ttdforgnns_tpu.ops.spmm_pallas import spmm_sum_tile_partials
+        nb = tiles.num_blocks
+
         @jax.jit
         def loop(off0, h, srcj, dstlj, wj, blkj, firstj):
-            import functools
-            from falcon_ttdforgnns_tpu.ops.spmm_pallas import _seg_mm_chunk
-
             def body(i, carry):
                 s, off = carry
-                msgs = jnp.take(h.astype(jnp.bfloat16), (srcj + off) % N,
-                                axis=0)
-                out = _seg_mm_chunk(NR, E_t, D, T, tiles.num_blocks,
-                                    jnp.bfloat16, False,
-                                    blkj, firstj, dstlj, wj, msgs)
+                out = spmm_sum_tile_partials(
+                    h, (srcj + off) % N, dstlj, wj, blkj, nb, NR, E_t, N,
+                    interpret=False)
                 return (s + out.sum(), off + 1)
             s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0), off0))
             return s
