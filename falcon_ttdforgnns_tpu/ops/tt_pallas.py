@@ -60,6 +60,19 @@ def _onehot_t(d: jax.Array, p: int, block: int, dtype) -> jax.Array:
     return (rows == d[None, :]).astype(dtype)
 
 
+def _tree_sum(terms):
+    """Pairwise-tree sum of a list of arrays: log2(n)-deep dependency
+    chains instead of n-deep — the VPU FMA latency otherwise serializes
+    the rank contractions (r=16 → 16-deep chains)."""
+    terms = list(terms)
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
 def _bounds(shapes: TTShapes, k: int) -> Tuple[int, int, int]:
     """(r_in, q_k, r_out) for core k; boundary ranks are 1."""
     T = shapes.ndim
@@ -105,9 +118,8 @@ def _fwd_chain(shapes: TTShapes, crT, out_ref=None):
         ck = crT[k]
         new_state = []
         for d, S in enumerate(state):
-            seg = S[0, :][None, :] * ck[0:m, :]
-            for rr in range(1, r_in):
-                seg = seg + S[rr, :][None, :] * ck[rr * m:(rr + 1) * m, :]
+            seg = _tree_sum(S[rr, :][None, :] * ck[rr * m:(rr + 1) * m, :]
+                            for rr in range(r_in))
             if k == T - 1:
                 if out_ref is not None:
                     out_ref[d * qk:(d + 1) * qk, :] = seg
@@ -142,9 +154,8 @@ def _bwd_chain(shapes: TTShapes, compute_dtype, crT, ohs, levels, dout, emit):
                                      axis=0) for d in range(nprefix)]
         dck_rows = []
         for rr in range(r_in):
-            acc = prev[0][rr, :][None, :] * dsegs[0]
-            for d in range(1, nprefix):
-                acc = acc + prev[d][rr, :][None, :] * dsegs[d]
+            acc = _tree_sum(prev[d][rr, :][None, :] * dsegs[d]
+                            for d in range(nprefix))
             dck_rows.append(acc)                      # (m, block)
         dck = jnp.concatenate(dck_rows, axis=0)       # (r_in*m, block)
         emit(k, jnp.dot(dck.astype(compute_dtype), ohs[k].T,

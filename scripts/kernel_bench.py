@@ -18,7 +18,8 @@ from falcon_ttdforgnns_tpu.ops.tt_pallas import (tt_lookup_pallas,
                                                  tt_fused_sgd_pallas)
 
 K = int(os.environ.get("PROBE_K", "32"))
-B = int(os.environ.get("PROBE_B", str(918_528)))  # multiple of 1024
+B = int(os.environ.get("PROBE_B", str(918_528)))  # multiple of block
+BLK = int(os.environ.get("PROBE_BLOCK", "1024"))
 
 
 def timed(name, loop, *args):
@@ -32,7 +33,7 @@ def timed(name, loop, *args):
 
 
 def main():
-    print(f"backend={jax.default_backend()} B={B} K={K}", flush=True)
+    print(f"backend={jax.default_backend()} B={B} K={K} block={BLK}", flush=True)
     shapes = make_tt_shapes(2_449_029, 100, (16, 16), (125, 140, 140),
                             (4, 5, 5))
     cores = tuple(jnp.asarray(c) for c in
@@ -52,7 +53,7 @@ def main():
     def fwd_loop(off0, cores, idx):
         def body(i, carry):
             s, off = carry
-            out = tt_lookup_pallas(shapes, cores, (idx + off) % Nn)
+            out = tt_lookup_pallas(shapes, cores, (idx + off) % Nn, block=BLK)
             return (s + out.sum(), off + 1)
         s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0), off0))
         return s
@@ -61,7 +62,7 @@ def main():
     def bwd_loop(off0, cores, idx, g):
         def body(i, carry):
             s, off = carry
-            grads = tt_grads_pallas(shapes, cores, (idx + off) % Nn, g)
+            grads = tt_grads_pallas(shapes, cores, (idx + off) % Nn, g, block=BLK)
             return (s + sum(x.sum() for x in grads), off + 1)
         s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0), off0))
         return s
@@ -71,7 +72,7 @@ def main():
         def body(i, carry):
             cores, off = carry
             cores = tt_fused_sgd_pallas(shapes, cores, (idx + off) % Nn, g,
-                                        lr=0.01)
+                                        lr=0.01, block=BLK)
             return (cores, off + 1)
         cores, _ = jax.lax.fori_loop(0, K, body, (cores, off0))
         return cores[0].sum()

@@ -1,0 +1,113 @@
+"""Products-scale full-graph SpMM pass comparison on the real TPU.
+
+Variants:
+  chunked-f32   spmm_sum_chunked, f32 h (round-1 eval path)
+  chunked-bf16  bf16 gather, f32 accumulate
+  tiled-uniform one-hot MXU Pallas kernel (spmm_sum_tiled_uniform)
+each measured on the raw edge order AND after RCM reorder (gather-locality
+effect — the reorder thesis, SURVEY §2.2).
+
+Timing: K data-dependent iterations inside one jitted fori_loop (the axon
+relay returns from block_until_ready early; see docs/PERFORMANCE.md).
+"""
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from falcon_ttdforgnns_tpu.graph import synthetic_dataset
+from falcon_ttdforgnns_tpu.graph.reorder import rcmk_reorder
+from falcon_ttdforgnns_tpu.ops.segment import spmm_sum_chunked
+
+N, D = 2_449_029, 256
+K = 4
+
+
+def timed(name, fn, *args):
+    t0 = time.time()
+    out = jax.block_until_ready(fn(*args))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    out = jax.block_until_ready(fn(*args))
+    per = (time.time() - t0) / K
+    print(f"{name}: {per*1e3:.0f} ms/pass (compile+1st {compile_s:.0f}s, "
+          f"chk {float(out):.3e})", flush=True)
+
+
+def run_chunked(src, dst, h, tag, dtype):
+    hh = h.astype(dtype)
+
+    @jax.jit
+    def loop(h, src, dst):
+        def body(i, carry):
+            s, off = carry
+            out = spmm_sum_chunked(h, (src + off) % N, dst, N,
+                                   chunk=1 << 22, sorted_dst=True)
+            return (s + out.sum().astype(jnp.float32), off + 1)
+        s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0), jnp.int32(0)))
+        return s
+
+    timed(f"chunked-{dtype.__name__}-{tag}", loop, hh, src, dst)
+
+
+def run_tiled(src_np, dst_np, h, tag):
+    from falcon_ttdforgnns_tpu.ops.spmm_pallas import (
+        auto_tile_edges, build_spmm_tiles_uniform, spmm_sum_tiled_uniform)
+    e_t = auto_tile_edges(len(src_np), N)
+    tpc = max(256, (1 << 30) // (e_t * 256 * 2))
+    t0 = time.time()
+    tu = build_spmm_tiles_uniform(src_np, dst_np, N, tile_edges=e_t,
+                                  tiles_per_chunk=tpc)
+    print(f"tiled-{tag}: host tiling {time.time()-t0:.0f}s E_t={e_t} "
+          f"C={tu.src.shape[0]} TC={tu.blkl.shape[1]}", flush=True)
+    args = tuple(jnp.asarray(a) for a in
+                 (tu.src, tu.dstl, tu.w, tu.blkl, tu.first, tu.blk0))
+
+    @jax.jit
+    def loop(h, src, dstl, w, blkl, first, blk0):
+        def body(i, carry):
+            s, off = carry
+            out = spmm_sum_tiled_uniform(
+                h, (src + off) % N, dstl, w, blkl, first, blk0,
+                tu.num_blocks_padded, tu.blocks_per_chunk,
+                tu.block_rows, tu.tile_edges, N)
+            return (s + out.sum(), off + 1)
+        s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0), jnp.int32(0)))
+        return s
+
+    timed(f"tiled-uniform-{tag}", loop, h, *args)
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    ds = synthetic_dataset(num_nodes=N, avg_degree=25, num_classes=47,
+                           feat_dim=100, seed=0)
+    g = ds.graph
+    deg = np.diff(g.indptr)
+    dst_np = np.repeat(np.arange(N, dtype=np.int32), deg)
+    src_np = g.indices.astype(np.int32)
+    print(f"E={len(src_np)}", flush=True)
+
+    perm = rcmk_reorder(g)
+    order = np.argsort(perm[dst_np], kind="stable")
+    src_r = perm[src_np][order].astype(np.int32)
+    dst_r = perm[dst_np][order].astype(np.int32)
+
+    key = jax.random.PRNGKey(0)
+    h = jax.jit(lambda k: jax.random.normal(k, (N, D), jnp.float32))(key)
+    h = jax.block_until_ready(h)
+
+    for tag, (s_np, d_np) in (("raw", (src_np, dst_np)),
+                              ("rcm", (src_r, dst_r))):
+        s, d = jnp.asarray(s_np), jnp.asarray(d_np)
+        run_chunked(s, d, h, tag, jnp.float32)
+        run_chunked(s, d, h, tag, jnp.bfloat16)
+        del s, d
+    run_tiled(src_np, dst_np, h, "raw")
+    run_tiled(src_r, dst_r, h, "rcm")
+
+
+if __name__ == "__main__":
+    main()
