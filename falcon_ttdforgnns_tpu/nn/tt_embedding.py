@@ -224,7 +224,14 @@ class TableBatchedTTEmbeddingBag(nn.Module):
     vmapped lookup.  ``indices``/``offsets`` follow the reference's
     table-batched contract: indices (num_tables, B) -> (num_tables, B, D).
     The GNN drivers only ever use one table; this exists for embedding-
-    table workloads (DLRM-style)."""
+    table workloads (DLRM-style).
+
+    Cache semantics match the reference exactly: the LFU cache path is
+    **disabled whenever num_tables > 1** — `preprocess_indices_sync_cuda`
+    only takes the cache branch under ``num_tables == 1``
+    (`FBTT/tt_embeddings_cuda.cu:1447-1449`), so batched tables always run
+    the pure-TT path there too.  ``cache_size`` is accepted for
+    constructor parity and ignored with num_tables > 1."""
 
     num_tables: int
     num_embeddings: int
@@ -233,25 +240,52 @@ class TableBatchedTTEmbeddingBag(nn.Module):
     p_shapes: Optional[Tuple[int, ...]] = None
     q_shapes: Optional[Tuple[int, ...]] = None
     weight_dist: str = "approx-normal"
+    cache_size: int = 0
+    init_seed: int = 0
+    batch_count: int = 131072
 
     @nn.compact
     def __call__(self, indices: jax.Array,
                  offsets: Optional[jax.Array] = None) -> jax.Array:
-        Bag = nn.vmap(
-            TTEmbeddingBag,
-            in_axes=(0, 0 if offsets is not None else None),
-            out_axes=0,
-            variable_axes={"params": 0, "ttcache": 0},
-            split_rngs={"params": True},
-        )
-        return Bag(
-            num_embeddings=self.num_embeddings,
-            embedding_dim=self.embedding_dim,
-            tt_ranks=self.tt_ranks,
-            p_shapes=self.p_shapes,
-            q_shapes=self.q_shapes,
-            weight_dist=self.weight_dist,
-            name="tables")(indices, offsets)
+        if self.num_tables == 1:
+            # delegate: keeps the full single-table feature set (cache etc.)
+            bag = TTEmbeddingBag(
+                num_embeddings=self.num_embeddings,
+                embedding_dim=self.embedding_dim,
+                tt_ranks=self.tt_ranks, p_shapes=self.p_shapes,
+                q_shapes=self.q_shapes, weight_dist=self.weight_dist,
+                cache_size=self.cache_size, init_seed=self.init_seed,
+                batch_count=self.batch_count, name="tables")
+            out = bag(indices[0], offsets[0] if offsets is not None else None)
+            return out[None]
+
+        shapes = make_tt_shapes(self.num_embeddings, self.embedding_dim,
+                                self.tt_ranks, self.p_shapes, self.q_shapes)
+
+        def stacked(k):
+            # distinct host-numpy seed per table (the flax rng is unusable
+            # here — see _core_init; split_rngs would leave tables equal)
+            def init(key, shape=None, dtype=jnp.float32):
+                return jnp.stack([
+                    jnp.asarray(tt_init.init_tt_cores(
+                        shapes, self.weight_dist,
+                        seed=self.init_seed + 7919 * k + 104729 * t)[k],
+                        dtype=dtype)
+                    for t in range(self.num_tables)])
+            return init
+
+        cores = tuple(
+            self.param(f"tt_core_{k}", stacked(k),
+                       (self.num_tables,) + shapes.core_shape(k))
+            for k in range(shapes.ndim))
+
+        def one(cores_t, idx_t, off_t):
+            return tt_embedding_bag(shapes, cores_t, idx_t, off_t,
+                                    batch_count=self.batch_count)
+
+        if offsets is None:
+            return jax.vmap(lambda c, i: one(c, i, None))(cores, indices)
+        return jax.vmap(one)(cores, indices, offsets)
 
 
 class FixedFeatureEmbedding(nn.Module):

@@ -158,3 +158,40 @@ def test_fixed_feature_embedding(tiny_ds):
     out = m.apply(vs, idx)
     np.testing.assert_allclose(np.asarray(out), feats[[3, 7, 3]], rtol=1e-6)
     assert "params" not in vs  # nothing trainable
+
+
+class TestTableBatched:
+    """Table-batched contract (`FBTT/tt_embeddings_ops.py:432-915`):
+    (num_tables, B) indices -> (num_tables, B, D); cache only ever active
+    for num_tables == 1 (`tt_embeddings_cuda.cu:1447-1449`)."""
+
+    def test_shapes_and_per_table_params(self):
+        import jax
+        import jax.numpy as jnp
+        from falcon_ttdforgnns_tpu.nn import TableBatchedTTEmbeddingBag
+        m = TableBatchedTTEmbeddingBag(num_tables=3, num_embeddings=200,
+                                       embedding_dim=16, tt_ranks=(4, 4),
+                                       cache_size=32)
+        idx = jnp.arange(12, dtype=jnp.int32).reshape(3, 4) % 200
+        vars_ = m.init(jax.random.PRNGKey(0), idx)
+        out = m.apply(vars_, idx)
+        assert out.shape == (3, 4, 16)
+        core0 = vars_["params"]["tt_core_0"]
+        assert core0.shape[0] == 3  # leading table axis
+        # num_tables>1 => cache vars absent (reference cu:1447-1449 gate)
+        assert "ttcache" not in vars_
+        # tables differ (split rngs) and lookups differ accordingly
+        same_idx = jnp.zeros((3, 4), jnp.int32)
+        out2 = m.apply(vars_, same_idx)
+        assert not np.allclose(np.asarray(out2[0]), np.asarray(out2[1]))
+
+    def test_single_table_keeps_cache(self):
+        import jax
+        import jax.numpy as jnp
+        from falcon_ttdforgnns_tpu.nn import TableBatchedTTEmbeddingBag
+        m = TableBatchedTTEmbeddingBag(num_tables=1, num_embeddings=200,
+                                       embedding_dim=16, tt_ranks=(4, 4),
+                                       cache_size=32)
+        idx = jnp.arange(4, dtype=jnp.int32)[None, :]
+        vars_ = m.init(jax.random.PRNGKey(0), idx)
+        assert "ttcache" in vars_
