@@ -84,6 +84,7 @@ def main(argv=None):
                 tt_optimizer="sgd" if args.sparse else args.tt_optimizer,
                 sparse=args.sparse,
                 batch_count=args.batch_count,
+                spmm=args.spmm,
                 mode=args.mode,
                 num_workers=args.num_workers,
                 use_sample=args.use_sample,

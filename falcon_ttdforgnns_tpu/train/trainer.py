@@ -53,6 +53,12 @@ class TrainConfig:
     seed: int = 0
     inference_chunk: int = 65536
     edge_chunk: int = 1 << 22
+    # Full-graph aggregation backend for evaluation: "xla" (chunked
+    # gather+segment-sum — measured fastest at products scale on v5e:
+    # 2.33 s vs 6.04 s/pass for the Pallas tiled kernel, which pays the
+    # same HBM gather PLUS one-hot matmul work; scripts/spmm_eval_bench.py)
+    # or "pallas" (opt-in tiled segment-matmul kernel).
+    spmm: str = "xla"
     access_counts: bool = False  # LoggingEmbedding analytics (no-TT mode)
     skip_eval: bool = False      # skip evaluation entirely (--skip-eval)
     dist: bool = False          # data-parallel over the device mesh
@@ -798,9 +804,11 @@ class SageTrainer:
         ds, cfg = self.ds, self.cfg
         n = ds.num_nodes
         from ..models.sage import SAGE
-        # on TPU the aggregation runs through the tiled segment-matmul
-        # Pallas kernel (ops/spmm_pallas.py); off-TPU the XLA segment path
-        use_tiled = jax.default_backend() == "tpu"
+        # Default: chunked XLA gather+segment-sum (the measured winner on
+        # v5e; the gather is the wall for every formulation — see
+        # docs/PERFORMANCE.md).  cfg.spmm == "pallas" opts into the tiled
+        # segment-matmul kernel (ops/spmm_pallas.py).
+        use_tiled = cfg.spmm == "pallas" and jax.default_backend() == "tpu"
         if not hasattr(self, "_eval_args"):
             src, dst = ds.graph.to_coo()
             common = (

@@ -96,6 +96,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "ADAGRAD); --sparse overrides to fused sgd")
     t.add_argument("--batch-count", type=int, default=65536,
                    help="lookup chunk size (VMEM budget knob, cu:1027 analog)")
+    t.add_argument("--spmm", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="full-graph aggregation backend for eval: chunked "
+                        "XLA gather+segment-sum (measured fastest on v5e) "
+                        "or the tiled segment-matmul Pallas kernel")
 
     # cache (tt_utils.py:60-63)
     c = p.add_argument_group("cache")
