@@ -73,6 +73,19 @@ def _tree_sum(terms):
     return terms[0]
 
 
+def _fma_sum(pairs):
+    """Running-FMA accumulation of Σ a·b over (a, b) pairs: ONE VPU pass
+    per term (mul+add fuse) vs the two passes of mul-then-tree-add.  The
+    serial dependency on the accumulator is hidden whenever each term
+    spans enough vregs (rows·lanes ≥ a few KB) — true for every (r, B)
+    slab here (B = lane dim ≥ 512)."""
+    pairs = list(pairs)
+    acc = pairs[0][0] * pairs[0][1]
+    for a, b in pairs[1:]:
+        acc = acc + a * b
+    return acc
+
+
 def _bounds(shapes: TTShapes, k: int) -> Tuple[int, int, int]:
     """(r_in, q_k, r_out) for core k; boundary ranks are 1."""
     T = shapes.ndim
@@ -100,26 +113,39 @@ def _gather_crt(shapes: TTShapes, block: int, compute_dtype,
     return crT, ohs
 
 
-def _fwd_chain(shapes: TTShapes, crT, out_ref=None):
+def _fwd_chain(shapes: TTShapes, crT, out_ref=None, skip_last=False):
     """Contract the TT chain over the transposed per-index tiles.
 
     Running state: one (r_out, block) tile per flattened q-prefix.  When
     ``out_ref`` is given the final core's segments are written straight to
-    it.  Returns the per-level states (levels[k] = state after core k,
-    k = 0..T-2) for backward reuse."""
+    it.  With ``skip_last`` the final level is not computed at all (the
+    backward never needs it — it only consumes levels[0..T-2]).  Returns
+    the per-level states (levels[k] = state after core k, k = 0..T-2)."""
     T = shapes.ndim
     q, r = shapes.q_shapes, shapes.ranks
     r1 = r[0]
     state = [crT[0][d * r1:(d + 1) * r1, :] for d in range(q[0])]
     levels = [state]
     for k in range(1, T):
+        if k == T - 1 and skip_last:
+            break
         r_in, qk, r_out = _bounds(shapes, k)
         m = qk * r_out
         ck = crT[k]
         new_state = []
+        # FMA-chain for wide mid-level slabs (pipelines across vregs);
+        # tree-sum for the narrow final-level segments (m = q_last rows →
+        # too few vregs to hide the serial FMA latency).
+        if k == T - 1:
+            def acc(S):
+                return _tree_sum(S[rr, :][None, :] * ck[rr * m:(rr + 1) * m, :]
+                                 for rr in range(r_in))
+        else:
+            def acc(S):
+                return _fma_sum((S[rr, :][None, :], ck[rr * m:(rr + 1) * m, :])
+                                for rr in range(r_in))
         for d, S in enumerate(state):
-            seg = _tree_sum(S[rr, :][None, :] * ck[rr * m:(rr + 1) * m, :]
-                            for rr in range(r_in))
+            seg = acc(S)
             if k == T - 1:
                 if out_ref is not None:
                     out_ref[d * qk:(d + 1) * qk, :] = seg
@@ -138,26 +164,49 @@ def _bwd_chain(shapes: TTShapes, compute_dtype, crT, ohs, levels, dout, emit):
     contributions via oh.T matmuls and handed to ``emit(k, contrib)``.
 
     Replaces the reference's transposed-GEMM pairs + atomicAdd scatter
-    (`cu:421-654`) with deterministic matmul accumulation."""
+    (`cu:421-654`) with deterministic matmul accumulation.
+
+    Layout: the LAST core runs in **u-major** order (crT[T-1] comes from a
+    host-side row-permuted unfolding, rows u·r_in+rr) so every VPU op on
+    the last level is an aligned (r_in, block) slab with a free single-row
+    sublane broadcast — the natural rr-major order would make them
+    (q_last, block) sub-tile ops, padded 8/q_last by Mosaic.  The emitted
+    last-core contribution is u-major too; `_native_layout` untangles it
+    outside the kernel (tiny (F, p) array)."""
     T = shapes.ndim
     q = shapes.q_shapes
-    dstate = None
-    for k in range(T - 1, 0, -1):
+
+    # ---- last level (k = T-1, r_out == 1), u-major ----
+    k = T - 1
+    r_in, qk, _ = _bounds(shapes, k)
+    prev = levels[k - 1]
+    nprefix = len(prev)
+    # dck_u[u*r_in+rr, b] = Σ_d prev[d][rr, b] · dout[d*qk+u, b]
+    dck_u = jnp.concatenate([
+        _fma_sum((prev[d], dout[d * qk + u, :][None, :])
+                 for d in range(nprefix))
+        for u in range(qk)], axis=0)                  # (qk*r_in, block)
+    emit(k, jnp.dot(dck_u.astype(compute_dtype), ohs[k].T,
+                    preferred_element_type=jnp.float32))
+    # dstate[d][rr, b] = Σ_u crT_u[u*r_in+rr, b] · dout[d*qk+u, b]
+    ck_u = crT[k]
+    dstate = [
+        _fma_sum((ck_u[u * r_in:(u + 1) * r_in, :],
+                  dout[d * qk + u, :][None, :]) for u in range(qk))
+        for d in range(nprefix)]
+
+    # ---- mid levels (k = T-2 .. 1), rr-major ----
+    for k in range(T - 2, 0, -1):
         r_in, qk, r_out = _bounds(shapes, k)
         m = qk * r_out
         prev = levels[k - 1]
         nprefix = len(prev)
-        if k == T - 1:
-            dsegs = [dout[d * qk:(d + 1) * qk, :] for d in range(nprefix)]
-        else:
-            dsegs = [jnp.concatenate([dstate[d * qk + u] for u in range(qk)],
-                                     axis=0) for d in range(nprefix)]
-        dck_rows = []
-        for rr in range(r_in):
-            acc = _tree_sum(prev[d][rr, :][None, :] * dsegs[d]
-                            for d in range(nprefix))
-            dck_rows.append(acc)                      # (m, block)
-        dck = jnp.concatenate(dck_rows, axis=0)       # (r_in*m, block)
+        dsegs = [jnp.concatenate([dstate[d * qk + u] for u in range(qk)],
+                                 axis=0) for d in range(nprefix)]
+        dck = jnp.concatenate([
+            _fma_sum((prev[d][rr, :][None, :], dsegs[d])
+                     for d in range(nprefix))
+            for rr in range(r_in)], axis=0)           # (r_in*m, block)
         emit(k, jnp.dot(dck.astype(compute_dtype), ohs[k].T,
                         preferred_element_type=jnp.float32))
         new_dstate = []
@@ -168,6 +217,7 @@ def _bwd_chain(shapes: TTShapes, compute_dtype, crT, ohs, levels, dout, emit):
                 rows.append(jnp.sum(prod, axis=0, keepdims=True))
             new_dstate.append(jnp.concatenate(rows, axis=0))
         dstate = new_dstate
+
     dc0 = jnp.concatenate(dstate, axis=0)             # (q1*r1, block)
     emit(0, jnp.dot(dc0.astype(compute_dtype), ohs[0].T,
                     preferred_element_type=jnp.float32))
@@ -192,7 +242,7 @@ def _bwd_kernel(shapes: TTShapes, block: int, compute_dtype, *refs):
             dr[:, :] = jnp.zeros_like(dr)
 
     crT, ohs = _gather_crt(shapes, block, compute_dtype, idx_ref[:], core_refs)
-    levels = _fwd_chain(shapes, crT)
+    levels = _fwd_chain(shapes, crT, skip_last=True)
 
     def emit(k, contrib):
         d_refs[k][:, :] += contrib
@@ -214,7 +264,7 @@ def _sgd_kernel(shapes: TTShapes, block: int, compute_dtype, lr: float,
             o[:, :] = c[:].astype(jnp.float32)
 
     crT, ohs = _gather_crt(shapes, block, compute_dtype, idx_ref[:], core_refs)
-    levels = _fwd_chain(shapes, crT)
+    levels = _fwd_chain(shapes, crT, skip_last=True)
 
     def emit(k, contrib):
         o_refs[k][:, :] += (-lr) * contrib
@@ -222,21 +272,46 @@ def _sgd_kernel(shapes: TTShapes, block: int, compute_dtype, lr: float,
     _bwd_chain(shapes, compute_dtype, crT, ohs, levels, dout_ref[:, :], emit)
 
 
-def _core_unfoldings(shapes: TTShapes, cores: Cores, compute_dtype):
-    """Transposed (F_k, p_k) core unfoldings for the VMEM-resident inputs."""
-    return tuple(
-        cores[k].reshape(shapes.p_shapes[k], _core_rows(shapes, k)).T
-        .astype(compute_dtype)
-        for k in range(shapes.ndim))
+def _core_unfoldings(shapes: TTShapes, cores: Cores, compute_dtype,
+                     last_u_major: bool = False):
+    """Transposed (F_k, p_k) core unfoldings for the VMEM-resident inputs.
+
+    With ``last_u_major`` the final core's rows are permuted from the
+    native rr-major order (rr·q+u) to u-major (u·r_in+rr) — the layout the
+    backward chain wants (see `_bwd_chain`).  Host-side permute of a tiny
+    (F, p) array; free."""
+    out = []
+    for k in range(shapes.ndim):
+        t = cores[k].reshape(shapes.p_shapes[k], _core_rows(shapes, k))
+        if last_u_major and k == shapes.ndim - 1:
+            r_in, qk, _ = _bounds(shapes, k)
+            t = t.reshape(shapes.p_shapes[k], r_in, qk).transpose(0, 2, 1) \
+                 .reshape(shapes.p_shapes[k], r_in * qk)
+        out.append(t.T.astype(compute_dtype))
+    return tuple(out)
 
 
-def _native_layout(shapes: TTShapes, tiles) -> Cores:
+def _native_layout(shapes: TTShapes, tiles, last_u_major: bool = False) -> Cores:
     """(F_k, p_k) transposed tiles -> native (p, r, q, r') core layout."""
     out = []
     for k, t in enumerate(tiles):
         r_in, qk, r_out = _bounds(shapes, k)
-        out.append(t.T.reshape(shapes.p_shapes[k], r_in, qk, r_out))
+        p = shapes.p_shapes[k]
+        if last_u_major and k == shapes.ndim - 1:
+            out.append(t.T.reshape(p, qk, r_in).transpose(0, 2, 1)
+                       .reshape(p, r_in, qk, r_out))
+        else:
+            out.append(t.T.reshape(p, r_in, qk, r_out))
     return tuple(out)
+
+
+def _compiler_params(block: int):
+    """Raise Mosaic's scoped-VMEM ceiling (default 16 MB) for big blocks —
+    block=2048 at products shapes needs ~25 MB of stack; v5e has 128 MB of
+    VMEM total, so a 64 MB scope is safe headroom."""
+    if block <= 1024:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _tile_specs(shapes: TTShapes):
@@ -283,6 +358,7 @@ def tt_lookup_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
             flops=flops,
             bytes_accessed=B * 4 + B * shapes.embedding_dim * 4,
             transcendentals=0),
+        compiler_params=_compiler_params(block),
         interpret=interpret,
     )(indices.astype(jnp.int32), *cts)
     return outT.T
@@ -318,7 +394,7 @@ def tt_grads_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
         raise ValueError(f"B={B} must be a multiple of block={block}")
     n_blocks = B // block
 
-    cts = _core_unfoldings(shapes, cores, compute_dtype)
+    cts = _core_unfoldings(shapes, cores, compute_dtype, last_u_major=True)
     doutT = d_out.T.astype(jnp.float32)  # (D, B)
     specs, shp = _tile_specs(shapes)
 
@@ -332,9 +408,10 @@ def tt_grads_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * shapes.ndim,
         out_specs=specs,
         out_shape=shp,
+        compiler_params=_compiler_params(block),
         interpret=interpret,
     )(indices.astype(jnp.int32), doutT, *cts)
-    return _native_layout(shapes, tiles)
+    return _native_layout(shapes, tiles, last_u_major=True)
 
 
 # ---------------------------------------------------------------------------
@@ -397,7 +474,7 @@ def tt_fused_sgd_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
     B = indices.shape[0]
     n_blocks = B // block
 
-    cts = _core_unfoldings(shapes, cores, compute_dtype)
+    cts = _core_unfoldings(shapes, cores, compute_dtype, last_u_major=True)
     doutT = d_out.T.astype(jnp.float32)
     specs, shp = _tile_specs(shapes)
 
@@ -411,6 +488,7 @@ def tt_fused_sgd_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * shapes.ndim,
         out_specs=specs,
         out_shape=shp,
+        compiler_params=_compiler_params(block),
         interpret=interpret,
     )(indices.astype(jnp.int32), doutT, *cts)
-    return _native_layout(shapes, tiles)
+    return _native_layout(shapes, tiles, last_u_major=True)
