@@ -306,12 +306,12 @@ def _native_layout(shapes: TTShapes, tiles, last_u_major: bool = False) -> Cores
 
 
 def _compiler_params(block: int):
-    """Raise Mosaic's scoped-VMEM ceiling (default 16 MB) for big blocks —
-    block=2048 at products shapes needs ~25 MB of stack; v5e has 128 MB of
-    VMEM total, so a 64 MB scope is safe headroom."""
-    if block <= 1024:
-        return None
-    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    """Raise Mosaic's scoped-VMEM ceiling (default 16 MB): block=1024 at
+    products shapes sits right at the default (16.6 MB when embedded in a
+    larger program), block=2048 needs ~25 MB.  v5e has 128 MB of VMEM, so
+    these scopes leave ample headroom."""
+    limit = (32 if block <= 1024 else 64) * 1024 * 1024
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
 def _tile_specs(shapes: TTShapes):

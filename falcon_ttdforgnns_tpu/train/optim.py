@@ -96,6 +96,49 @@ def rowwise_adagrad(lr: float, eps: float = 1e-8) -> optax.GradientTransformatio
     return optax.GradientTransformation(init, update)
 
 
+class PlateauState(NamedTuple):
+    scale: jax.Array          # current lr multiplier
+    best_value: jax.Array     # best loss seen
+    plateau_count: jax.Array  # steps since improvement
+
+
+def reduce_on_plateau(patience: int = 800, factor: float = 0.5,
+                      rtol: float = 1e-4, atol: float = 0.0,
+                      min_scale: float = 0.0) -> optax.GradientTransformationExtraArgs:
+    """Branch-free ReduceLROnPlateau (semantics of
+    `torch.optim.lr_scheduler.ReduceLROnPlateau` stepped per train step on
+    the loss, `sage_dgl_partition.py:107,319`; same math as
+    ``optax.contrib.reduce_on_plateau`` with accumulation_size=1,
+    cooldown=0).
+
+    Why not optax.contrib's: its nested ``lax.cond``s measure **1.2 s/step**
+    inside the products train loop on the v5e (vs 35 ms for the whole rest
+    of the step) — scalar conds inside the jitted while-loop hit a
+    pathological XLA/TPU path.  This ``jnp.where`` formulation costs
+    nothing (scripts/step_bisect4.py)."""
+
+    def init(params):
+        return PlateauState(scale=jnp.asarray(1.0, jnp.float32),
+                            best_value=jnp.asarray(jnp.inf, jnp.float32),
+                            plateau_count=jnp.asarray(0, jnp.int32))
+
+    def update(updates, state, params=None, *, value, **extra):
+        del params, extra
+        v = jnp.asarray(value, jnp.float32)
+        improved = v < (1 - rtol) * state.best_value - atol
+        best = jnp.where(improved, v, state.best_value)
+        pc = jnp.where(improved, 0, state.plateau_count + 1)
+        hit = pc >= patience
+        scale = jnp.maximum(jnp.where(hit, state.scale * factor, state.scale),
+                            min_scale)
+        pc = jnp.where(hit, 0, pc)
+        updates = jax.tree.map(lambda g: scale * g, updates)
+        return updates, PlateauState(scale=scale, best_value=best,
+                                     plateau_count=pc)
+
+    return optax.GradientTransformationExtraArgs(init, update)
+
+
 def make_optimizer(
     lr: float = 0.003,
     weight_decay: float = 0.0,
@@ -149,9 +192,8 @@ def make_optimizer(
         chain.append(optax.clip_by_global_norm(grad_clip))
     chain.append(tx)
     if plateau:
-        chain.append(optax.contrib.reduce_on_plateau(
-            patience=plateau_patience, factor=plateau_factor,
-            accumulation_size=1))
+        chain.append(reduce_on_plateau(
+            patience=plateau_patience, factor=plateau_factor))
     return optax.chain(*chain)
 
 

@@ -20,6 +20,14 @@ from falcon_ttdforgnns_tpu.ops.tt_pallas import (tt_lookup_pallas,
 K = int(os.environ.get("PROBE_K", "32"))
 B = int(os.environ.get("PROBE_B", str(918_528)))  # multiple of block
 BLK = int(os.environ.get("PROBE_BLOCK", "1024"))
+# products (default) | papers (111M ids, p=400/500/600, q=4,4,8 — the
+# run_script.sh final-papers config) | aligned (MXU-128-aligned p-shapes)
+CFG = os.environ.get("PROBE_CFG", "products")
+SHAPES = {
+    "products": (2_449_029, 100, (16, 16), (125, 140, 140), (4, 5, 5)),
+    "papers": (111_059_956, 128, (16, 16), (400, 500, 600), (4, 4, 8)),
+    "aligned": (2_449_029, 100, (16, 16), (128, 128, 150), (4, 5, 5)),
+}[CFG]
 
 
 def timed(name, loop, *args):
@@ -33,9 +41,9 @@ def timed(name, loop, *args):
 
 
 def main():
-    print(f"backend={jax.default_backend()} B={B} K={K} block={BLK}", flush=True)
-    shapes = make_tt_shapes(2_449_029, 100, (16, 16), (125, 140, 140),
-                            (4, 5, 5))
+    print(f"backend={jax.default_backend()} B={B} K={K} block={BLK} cfg={CFG}",
+          flush=True)
+    shapes = make_tt_shapes(*SHAPES)
     cores = tuple(jnp.asarray(c) for c in
                   tt_init.init_tt_cores(shapes, "normal", seed=0))
     Nn = shapes.num_embeddings

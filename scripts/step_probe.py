@@ -1,0 +1,65 @@
+"""Device-limited train-step timing at products scale.
+
+Packs S sampled batches once, then dispatches the jitted S-step
+fori_loop R times back-to-back (one host readback at the end) — the
+per-dispatch relay overhead amortizes over R*S optimizer steps, so
+wall/(R*S) approaches the true device step time (round-1 methodology;
+see docs/PERFORMANCE.md).
+
+Usage: python scripts/step_probe.py [S] [R] [--sparse]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    S = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    R = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    sparse = "--sparse" in sys.argv
+
+    import jax
+    import jax.numpy as jnp
+    from falcon_ttdforgnns_tpu.train import SageTrainer, TrainConfig
+    from train_bench import get_products_scale_dataset
+
+    ds = get_products_scale_dataset()
+    cfg = TrainConfig(batch_size=1024, fanouts=(5, 10, 15),
+                      hidden_dim=256, num_layers=3, use_tt=True,
+                      tt_ranks=(16, 16), p_shapes=(125, 140, 140),
+                      q_shapes=(4, 5, 5), weight_dist="approx-normal",
+                      steps_per_call=S, sparse=sparse,
+                      eval_every=10**9, log_every=10**9)
+    t0 = time.time()
+    tr = SageTrainer(ds, cfg)
+    print(f"trainer init {time.time() - t0:.0f}s (sparse={tr._fused_sparse})",
+          flush=True)
+
+    it = iter(tr.loader)
+    group = [next(it) for _ in range(S)]
+    packed = jax.device_put(jnp.asarray(tr._pack_group(group)))
+    rng = jax.random.PRNGKey(0)
+
+    t0 = time.time()
+    v, o, loss, acc = tr._multi_fn(tr.variables, tr.opt_state, packed, rng)
+    jax.block_until_ready(loss)
+    print(f"compile+first dispatch ({S} steps): {time.time() - t0:.1f}s",
+          flush=True)
+
+    t0 = time.time()
+    for r in range(R):
+        v, o, loss, acc = tr._multi_fn(v, o, packed,
+                                       jax.random.fold_in(rng, r))
+    loss_f = float(loss)  # forces the chain (relay block_until_ready lies)
+    dt = time.time() - t0
+    print(f"{R} dispatches x {S} steps: {dt:.2f}s -> "
+          f"{dt / (R * S) * 1e3:.1f} ms/step  (loss {loss_f:.3f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
