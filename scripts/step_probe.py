@@ -22,9 +22,11 @@ def main():
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     R = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     sparse = "--sparse" in sys.argv
+    puregpu = "--puregpu" in sys.argv
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from falcon_ttdforgnns_tpu.train import SageTrainer, TrainConfig
     from train_bench import get_products_scale_dataset
 
@@ -34,27 +36,42 @@ def main():
                       tt_ranks=(16, 16), p_shapes=(125, 140, 140),
                       q_shapes=(4, 5, 5), weight_dist="approx-normal",
                       steps_per_call=S, sparse=sparse,
+                      mode="puregpu" if puregpu else "mixed",
                       eval_every=10**9, log_every=10**9)
     t0 = time.time()
     tr = SageTrainer(ds, cfg)
-    print(f"trainer init {time.time() - t0:.0f}s (sparse={tr._fused_sparse})",
-          flush=True)
+    print(f"trainer init {time.time() - t0:.0f}s (sparse={tr._fused_sparse} "
+          f"mode={cfg.mode})", flush=True)
 
-    it = iter(tr.loader)
-    group = [next(it) for _ in range(S)]
-    packed = jax.device_put(jnp.asarray(tr._pack_group(group)))
     rng = jax.random.PRNGKey(0)
+    if puregpu:
+        B = cfg.batch_size
+        pick = np.random.default_rng(0).choice(ds.train_idx, S * B)
+        packed_np = np.empty((S, B, 2), np.int32)
+        packed_np[:, :, 0] = pick.reshape(S, B)
+        packed_np[:, :, 1] = ds.labels[pick].reshape(S, B)
+        packed = jnp.asarray(packed_np)
+
+        def dispatch(v, o, k):
+            return tr._device_multi_fn(v, o, packed, k,
+                                       tr._indptr_dev, tr._indices_dev)
+    else:
+        it = iter(tr.loader)
+        group = [next(it) for _ in range(S)]
+        packed = jnp.asarray(tr._pack_group(group))
+
+        def dispatch(v, o, k):
+            return tr._multi_fn(v, o, packed, k)
 
     t0 = time.time()
-    v, o, loss, acc = tr._multi_fn(tr.variables, tr.opt_state, packed, rng)
-    jax.block_until_ready(loss)
+    v, o, loss, acc = dispatch(tr.variables, tr.opt_state, rng)
+    float(loss)
     print(f"compile+first dispatch ({S} steps): {time.time() - t0:.1f}s",
           flush=True)
 
     t0 = time.time()
     for r in range(R):
-        v, o, loss, acc = tr._multi_fn(v, o, packed,
-                                       jax.random.fold_in(rng, r))
+        v, o, loss, acc = dispatch(v, o, jax.random.fold_in(rng, r))
     loss_f = float(loss)  # forces the chain (relay block_until_ready lies)
     dt = time.time() - t0
     print(f"{R} dispatches x {S} steps: {dt:.2f}s -> "

@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--cache-size", type=int, default=0)
     ap.add_argument("--steps-per-call", type=int, default=48)
     ap.add_argument("--partition", type=int, default=0)
+    ap.add_argument("--mode", default="mixed", choices=["mixed", "puregpu"],
+                    help="mixed = host sampling (packed-batch transfer per "
+                         "group); puregpu = CSR in HBM, sampling inside the "
+                         "jitted step (393KB/group transfer — the win when "
+                         "host->device bandwidth is the wall)")
     args = ap.parse_args()
 
     import jax
@@ -75,6 +80,7 @@ def main():
                       q_shapes=(4, 5, 5), weight_dist="approx-normal",
                       cache_size=args.cache_size,
                       steps_per_call=args.steps_per_call,
+                      mode=args.mode,
                       eval_every=10**9, log_every=10**9)
     t0 = time.time()
     tr = SageTrainer(ds, cfg)
