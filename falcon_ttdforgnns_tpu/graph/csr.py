@@ -192,10 +192,16 @@ def synthetic_dataset(
     seed: int = 0,
     name: str = "synthetic",
     community_classes: bool = True,
+    split_counts: Optional[Tuple[int, int, int]] = None,
 ) -> NodeDataset:
     """Power-law graph with community-correlated labels so GNNs can actually
     learn (labels = hash of high index bits + noise → neighborhood-coherent
-    after RMAT locality)."""
+    after RMAT locality).
+
+    ``split_counts`` = (n_train, n_val, n_test) overrides the default
+    60/20/20 split — pass the OFFICIAL OGB split sizes when benchmarking
+    against reference epoch times (ogbn-products trains on only 196,615 of
+    2.45M nodes, so a 60% split does 7.5x the reference's per-epoch work)."""
     rng = np.random.default_rng(seed)
     src, dst = rmat_edges(num_nodes, num_nodes * avg_degree, seed=seed)
     graph = CSRGraph.from_edges(src, dst, num_nodes, add_reverse=True)
@@ -211,8 +217,14 @@ def synthetic_dataset(
         labels = rng.integers(0, num_classes, num_nodes).astype(np.int32)
 
     perm = rng.permutation(num_nodes)
-    n_train = int(0.6 * num_nodes)
-    n_val = int(0.2 * num_nodes)
+    if split_counts is not None:
+        n_train, n_val, n_test = split_counts
+        if n_train + n_val + n_test > num_nodes:
+            raise ValueError("split_counts exceed num_nodes")
+        perm = perm[: n_train + n_val + n_test]
+    else:
+        n_train = int(0.6 * num_nodes)
+        n_val = int(0.2 * num_nodes)
     return NodeDataset(
         graph=graph,
         labels=labels.astype(np.int32),

@@ -23,7 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def get_products_scale_dataset(cache="/tmp/products_synth.npz"):
+def get_products_scale_dataset(cache="/tmp/products_synth_v2.npz"):
+    """Synthetic R-MAT at products scale with the OFFICIAL ogbn-products
+    split sizes (196,615 train / 39,323 valid / 2,213,091 test,
+    `ogbn-products` get_idx_split) — an epoch must do the same amount of
+    work as the reference's epoch for the 56.89 s baseline comparison to
+    mean anything (a naive 60% split trains on 7.5x more seeds)."""
     from falcon_ttdforgnns_tpu.graph import synthetic_dataset, CSRGraph, NodeDataset
 
     if os.path.exists(cache):
@@ -36,7 +41,8 @@ def get_products_scale_dataset(cache="/tmp/products_synth.npz"):
                            feat_dim=100, name="products-synth")
     t0 = time.time()
     ds = synthetic_dataset(num_nodes=2_449_029, avg_degree=12, num_classes=47,
-                           feat_dim=100, seed=0, name="products-synth")
+                           feat_dim=100, seed=0, name="products-synth",
+                           split_counts=(196_615, 39_323, 2_213_091))
     print(f"generated products-scale graph in {time.time() - t0:.0f}s "
           f"({ds.graph.num_edges} edges)", file=sys.stderr)
     np.savez(cache, indptr=ds.graph.indptr, indices=ds.graph.indices,
@@ -54,6 +60,7 @@ def main():
     ap.add_argument("--cache-size", type=int, default=0)
     ap.add_argument("--steps-per-call", type=int, default=48)
     ap.add_argument("--partition", type=int, default=0)
+    ap.add_argument("--log-every", type=int, default=10**9)
     ap.add_argument("--mode", default="mixed", choices=["mixed", "puregpu"],
                     help="mixed = host sampling (packed-batch transfer per "
                          "group); puregpu = CSR in HBM, sampling inside the "
@@ -81,9 +88,14 @@ def main():
                       cache_size=args.cache_size,
                       steps_per_call=args.steps_per_call,
                       mode=args.mode,
-                      eval_every=10**9, log_every=10**9)
+                      eval_every=10**9, log_every=args.log_every)
     t0 = time.time()
-    tr = SageTrainer(ds, cfg)
+    logger = None
+    if args.log_every < 10**9:
+        import logging
+        logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+        logger = logging.getLogger("train_bench")
+    tr = SageTrainer(ds, cfg, logger=logger)
     print(f"trainer init {time.time() - t0:.0f}s", file=sys.stderr)
 
     if args.steps:
