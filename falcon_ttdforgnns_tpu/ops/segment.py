@@ -14,6 +14,7 @@ chunking knob (`FBTT/tt_embeddings_cuda.cu:1027`).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -76,6 +77,84 @@ def spmm_mean(h: jax.Array, src: jax.Array, dst: jax.Array, num_nodes: int,
         in_deg = jax.ops.segment_sum(jnp.ones_like(dst, dtype=h.dtype), dst,
                                      num_segments=num_nodes)
     return s / jnp.maximum(in_deg.astype(h.dtype), 1.0)[:, None]
+
+
+def _headed_scatter(feat: jax.Array, w: jax.Array, src: jax.Array,
+                    dst: jax.Array, num_out: int, chunk: int) -> jax.Array:
+    """out[dst_e] += w[e, :, None] * feat[src_e]  —  feat (N, H, D),
+    w (E, H) → (num_out, H, D), edge-chunked.
+
+    Unrolled static chunk loop (not ``lax.scan``): this only ever runs
+    inside :func:`headed_spmm`'s custom VJP, so nothing here is
+    differentiated through and no per-chunk residuals are kept."""
+    E = src.shape[0]
+    H, D = feat.shape[1], feat.shape[2]
+    n_chunks = max(1, -(-E // chunk))
+    pad = n_chunks * chunk - E
+    if pad:
+        src = jnp.pad(src, (0, pad))
+        dst = jnp.pad(dst, (0, pad))
+        w = jnp.pad(w, ((0, pad), (0, 0)))  # zero weight: pad edges inert
+    acc = jnp.zeros((num_out, H, D), feat.dtype)
+    for i in range(n_chunks):
+        s = jax.lax.dynamic_slice_in_dim(src, i * chunk, chunk)
+        d = jax.lax.dynamic_slice_in_dim(dst, i * chunk, chunk)
+        we = jax.lax.dynamic_slice_in_dim(w, i * chunk, chunk)
+        acc = acc.at[d].add(jnp.take(feat, s, axis=0) * we[:, :, None])
+    return acc
+
+
+def _headed_edge_dot(feat: jax.Array, g: jax.Array, src: jax.Array,
+                     dst: jax.Array, chunk: int) -> jax.Array:
+    """dw[e, h] = <feat[src_e, h, :], g[dst_e, h, :]> — edge-chunked."""
+    E = src.shape[0]
+    n_chunks = max(1, -(-E // chunk))
+    pad = n_chunks * chunk - E
+    if pad:
+        src = jnp.pad(src, (0, pad))
+        dst = jnp.pad(dst, (0, pad))
+    outs = []
+    for i in range(n_chunks):
+        s = jax.lax.dynamic_slice_in_dim(src, i * chunk, chunk)
+        d = jax.lax.dynamic_slice_in_dim(dst, i * chunk, chunk)
+        outs.append(jnp.sum(jnp.take(feat, s, axis=0) * jnp.take(g, d, axis=0),
+                            axis=-1))
+    dw = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=0)
+    return dw[:E]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def headed_spmm(feat: jax.Array, w: jax.Array, src: jax.Array, dst: jax.Array,
+                num_nodes: int, chunk: int = 1 << 19) -> jax.Array:
+    """Per-head weighted aggregation: out[v,h] = Σ_{e:dst_e=v} w[e,h]·feat[src_e,h].
+
+    The memory-critical op of GAT (`gnn_model.py:318-441` does it as DGL
+    ``u_mul_e`` + SpMM): a naive gather materializes (E, H, D) messages —
+    7.3 GB at arxiv scale with the reference-default 3×256 heads, which
+    OOMs a 16 GB chip twice over once autodiff keeps it as a residual.
+
+    Custom VJP keeps peak memory at one (chunk, H, D) slab:
+      d_feat = the same chunked scatter with src/dst swapped
+               (d_feat[u] = Σ_{e:src_e=u} w[e]·g[dst_e]),
+      d_w    = chunked per-edge row dot  <feat[src_e], g[dst_e]>.
+    """
+    return _headed_scatter(feat, w, src, dst, num_nodes, chunk)
+
+
+def _headed_spmm_fwd(feat, w, src, dst, num_nodes, chunk):
+    # fwd takes the primal signature; bwd gets the nondiff args prepended
+    out = headed_spmm(feat, w, src, dst, num_nodes, chunk)
+    return out, (feat, w, src, dst)
+
+
+def _headed_spmm_bwd(num_nodes, chunk, res, g):
+    feat, w, src, dst = res
+    d_feat = _headed_scatter(g, w, dst, src, feat.shape[0], chunk)
+    d_w = _headed_edge_dot(feat, g, src, dst, chunk)
+    return d_feat.astype(feat.dtype), d_w.astype(w.dtype), None, None
+
+
+headed_spmm.defvjp(_headed_spmm_fwd, _headed_spmm_bwd)
 
 
 def gcn_norm_spmm(h: jax.Array, src: jax.Array, dst: jax.Array, num_nodes: int,

@@ -11,7 +11,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The concurrency-optimized CPU thunk scheduler lets each virtual device
+# reach data-independent collectives (ring ppermute vs grad psum) in a
+# different order; with fewer host cores than devices the blocked rendezvous
+# threads starve the pool and XLA aborts after its 40 s termination timeout
+# (seen on a 4-core host: "Expected 8 threads to join ... only 7 arrived").
+# A sequential thunk schedule makes every device hit collectives in HLO
+# order, which cannot deadlock.
+if "xla_cpu_enable_concurrency_optimized_scheduler" not in flags:
+    flags += " --xla_cpu_enable_concurrency_optimized_scheduler=false"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
