@@ -196,3 +196,18 @@ class TestOgbRawLoader:
         self._write(tmp_path, feats=False)
         ds = get_dataset("ogbn-toy", root=str(tmp_path))
         assert ds.name == "ogbn-toy" and ds.graph.num_nodes == 20
+
+    def test_get_dataset_hard_prefix(self):
+        """'hard-<name>' routes to the planted-partition generator at
+        <name>'s scale: high edge homophily, id-uninformative labels."""
+        from falcon_ttdforgnns_tpu.graph import get_dataset
+        ds = get_dataset("hard-ogbn-arxiv", synthetic_scale=0.05)
+        assert ds.name == "hard-ogbn-arxiv"
+        assert ds.num_nodes == int(169_343 * 0.05) and ds.num_classes == 40
+        src, dst = ds.graph.to_coo()
+        homo = (ds.labels[src] == ds.labels[dst]).mean()
+        assert homo > 0.5  # planted partition, not RMAT (which measures ~0.06)
+        # id high bits carry nothing: community of id-sorted halves ~uniform
+        half = ds.labels[: ds.num_nodes // 2]
+        counts = np.bincount(half, minlength=40) / half.size
+        assert counts.max() < 0.10  # no id-block dominates a class
