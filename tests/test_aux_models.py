@@ -27,6 +27,61 @@ def test_rgat_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_rgat_learns_typed_homophily():
+    """RGAT must exploit the *informative* edge type: etype-0 edges connect
+    same-class nodes, etype-1 edges are uniform noise.  Features are noisy
+    class one-hots; a model that denoises via etype-0 neighbors must beat
+    the feature-only argmax readout on held-out nodes (measured in-test,
+    so the bar is the actual per-seed feature signal, not a magic number)."""
+    import optax
+    rng = np.random.default_rng(7)
+    n, c = 400, 4
+    lab = rng.integers(0, c, n)
+    # homophilous etype-0: pair nodes within each class
+    src0, dst0 = [], []
+    for k in range(c):
+        ids = np.where(lab == k)[0]
+        src0.append(rng.choice(ids, 4 * len(ids)))
+        dst0.append(rng.choice(ids, 4 * len(ids)))
+    e0 = (jnp.asarray(np.concatenate(src0)), jnp.asarray(np.concatenate(dst0)))
+    e1 = (jnp.asarray(rng.integers(0, n, 1600)), jnp.asarray(rng.integers(0, n, 1600)))
+    feat = np.eye(c, dtype=np.float32)[lab] + rng.normal(0, 2.0, (n, c)).astype(np.float32)
+    feat = jnp.asarray(feat)
+    labels = jnp.asarray(lab)
+    train_mask = np.zeros(n, bool); train_mask[: n // 2] = True
+    rng.shuffle(train_mask)
+    tr = jnp.asarray(np.where(train_mask)[0])
+    te = np.where(~train_mask)[0]
+
+    model = RGAT(in_dim=c, hidden_dim=8, num_classes=c, num_etypes=2,
+                 num_layers=2, num_heads=2, dropout=0.0)
+    key = jax.random.PRNGKey(0)
+    vs = model.init({"params": key, "dropout": key}, feat, [e0, e1], n)
+    tx = optax.adam(0.01)
+    opt = tx.init(vs["params"])
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            out = model.apply({"params": p}, feat, [e0, e1], n, train=False)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                out[tr], labels[tr]).mean()
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    params = vs["params"]
+    for _ in range(120):
+        params, opt, loss = step(params, opt)
+    out = model.apply({"params": params}, feat, [e0, e1], n, train=False)
+    acc = (np.asarray(out.argmax(-1))[te] == lab[te]).mean()
+    # feature-only readout: argmax of the noisy one-hot is the best a model
+    # that ignores the graph can do (measured ~0.40 at this noise); typed
+    # message passing lifts held-out accuracy well above it (~0.60).
+    feat_acc = (np.asarray(feat).argmax(-1)[te] == lab[te]).mean()
+    assert acc >= feat_acc + 0.10, f"held-out {acc:.3f} vs feature-only {feat_acc:.3f}"
+
+
 @pytest.mark.parametrize("conv", ["gin", "gcn"])
 @pytest.mark.parametrize("pooling", ["sum", "mean", "max", "attention",
                                      "set2set"])
