@@ -86,6 +86,8 @@ def main(argv=None):
                 batch_count=args.batch_count,
                 spmm=args.spmm,
                 mode=args.mode,
+                sampler=args.sampler,
+                table_width=args.table_width,
                 num_workers=args.num_workers,
                 use_sample=args.use_sample,
                 grouped=(args.emb_name == "eff"),

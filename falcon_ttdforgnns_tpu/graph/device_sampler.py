@@ -22,6 +22,7 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def device_sample_neighbors(indptr: jax.Array, indices: jax.Array,
@@ -39,6 +40,64 @@ def device_sample_neighbors(indptr: jax.Array, indices: jax.Array,
     gather = jnp.minimum(start[:, None] + offs, indices.shape[0] - 1)
     flat = jnp.take(indices, gather)
     return jnp.where(deg[:, None] > 0, flat, nodes[:, None]).astype(jnp.int32)
+
+
+def build_neighbor_table(indptr: np.ndarray, indices: np.ndarray,
+                         width: int, seed: int = 0) -> np.ndarray:
+    """Host-side (N, width) int32 table: slot j of node v is an **iid
+    uniform draw** from v's in-neighbors (self-loop when isolated).
+
+    Because every slot is marginally uniform, sampling a uniform random
+    slot at train time is *exactly* the uniform-neighbor distribution of
+    the CSR sampler per draw; what changes is neighbor diversity — one
+    run touches at most ``width`` distinct neighbors of each node (the
+    table is built once per run).  The payoff on TPU: a fanout hop
+    becomes one contiguous row-gather of ``4*width`` bytes per frontier
+    node instead of ``fanout`` scalar gathers from the 4·E-byte CSR
+    indices array — ~10x fewer HBM transactions on the latency-bound
+    last hop (TPU-native replacement for DGL's per-edge sampling,
+    `graphloader.py:245-251`)."""
+    n = indptr.shape[0] - 1
+    if indices.shape[0] == 0:  # edgeless graph: all self-loops
+        return np.repeat(np.arange(n, dtype=np.int32)[:, None], width, axis=1)
+    rng = np.random.default_rng(seed)
+    tbl = np.empty((n, width), np.int32)
+    chunk = 8_000_000  # bound the float64 temp at ~2 GB for 111M-node graphs
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        start = indptr[lo:hi].astype(np.int64)
+        deg = indptr[lo + 1:hi + 1].astype(np.int64) - start
+        offs = (rng.random((hi - lo, width))
+                * np.maximum(deg, 1)[:, None]).astype(np.int64)
+        rows = indices[np.minimum(start[:, None] + offs,
+                                  max(indices.shape[0] - 1, 0))]
+        isolated = deg == 0
+        if isolated.any():
+            rows[isolated] = np.arange(lo, hi, dtype=np.int64)[isolated, None]
+        tbl[lo:hi] = rows
+    return tbl
+
+
+def device_sample_block_table(table: jax.Array, seeds: jax.Array,
+                              fanouts: Sequence[int],
+                              key: jax.Array) -> List[jax.Array]:
+    """``device_sample_block`` over a prebuilt neighbor table (same layer
+    contract).  Each hop: row-gather ``table[frontier]`` then an
+    in-register uniform slot pick — no indptr/degree lookups."""
+    width = table.shape[1]
+    rev = list(reversed(list(fanouts)))
+    B = seeds.shape[0]
+    layers: List[jax.Array] = []
+    frontier = seeds.astype(jnp.int32)
+    for li, f in enumerate(rev):
+        key, sub = jax.random.split(key)
+        flat = frontier.reshape(-1)
+        rows = jnp.take(table, flat, axis=0)                  # (M, width)
+        cols = jax.random.randint(sub, (flat.shape[0], f), 0, width)
+        nbrs = jnp.take_along_axis(rows, cols, axis=1)        # (M, f)
+        frontier = nbrs.reshape(B, -1)
+        layers.append(frontier)
+    return layers
 
 
 def device_sample_block(indptr: jax.Array, indices: jax.Array,

@@ -79,6 +79,13 @@ class TrainConfig:
     # --mode: 'mixed' = host-side sampling (UVA analog); 'puregpu' = CSR
     # arrays in HBM, sampling runs INSIDE the jitted step (device_sampler).
     mode: str = "mixed"
+    # --sampler (puregpu only): 'csr' = per-edge gathers from the CSR
+    # indices array; 'table' = prebuilt (N, table_width) iid-uniform
+    # neighbor table — one contiguous row-gather per frontier node instead
+    # of `fanout` scalar gathers (exact marginal distribution, bounded
+    # per-run neighbor diversity; see device_sampler.build_neighbor_table).
+    sampler: str = "csr"
+    table_width: int = 32
     # --num-workers: host sampler thread-pool width (graphloader.py:261).
     num_workers: int = 1
     # --full-neighbor (use_sample=False): exact-aggregation training via
@@ -214,6 +221,11 @@ class SageTrainer:
         ptr_dtype = np.int64 if g.num_edges >= 2**31 else np.int32
         self._indptr_dev = jnp.asarray(g.indptr.astype(ptr_dtype))
         self._indices_dev = jnp.asarray(g.indices.astype(np.int32))
+        self._table_dev = None
+        if self.cfg.sampler == "table" and self.cfg.use_sample:
+            from ..graph.device_sampler import build_neighbor_table
+            self._table_dev = jnp.asarray(build_neighbor_table(
+                g.indptr, g.indices, self.cfg.table_width, self.cfg.seed))
         if not self.cfg.use_sample:
             src, dst = g.to_coo()
             self._src_dev = jnp.asarray(src.astype(np.int32))
@@ -423,8 +435,10 @@ class SageTrainer:
         host->device transfer shrinks to (S, B, 2) [seed, label]."""
         S = self.cfg.steps_per_call
         fanouts = self.cfg.fanouts
+        use_table = self.cfg.sampler == "table"
         step_body = self._make_step_body(fused=self._fused_sparse)
-        from ..graph.device_sampler import device_sample_block
+        from ..graph.device_sampler import (device_sample_block,
+                                            device_sample_block_table)
 
         @jax.jit
         def multi_step(variables, opt_state, packed, rng, indptr, indices):
@@ -434,8 +448,13 @@ class SageTrainer:
                 labels = packed[i, :, 1]
                 k_sample = jax.random.fold_in(rng, 2 * i)
                 k_drop = jax.random.fold_in(rng, 2 * i + 1)
-                layers = device_sample_block(indptr, indices, seeds, fanouts,
-                                             k_sample)
+                if use_table:
+                    # `indices` is the (N, W) neighbor table here
+                    layers = device_sample_block_table(indices, seeds,
+                                                       fanouts, k_sample)
+                else:
+                    layers = device_sample_block(indptr, indices, seeds,
+                                                 fanouts, k_sample)
                 new_vars, new_opt, loss, acc = step_body(
                     variables, opt_state, seeds, layers, labels, k_drop)
                 return (new_vars, new_opt, loss_sum + loss, acc_sum + acc)
@@ -627,9 +646,11 @@ class SageTrainer:
             packed[:, :, 0] = pick.reshape(S, B)
             packed[:, :, 1] = self.ds.labels[pick].reshape(S, B)
             rng, sub = jax.random.split(rng)
+            idx_arg = (self._table_dev if self._table_dev is not None
+                       else self._indices_dev)
             self.variables, self.opt_state, loss, acc = self._device_multi_fn(
                 self.variables, self.opt_state, jnp.asarray(packed), sub,
-                self._indptr_dev, self._indices_dev)
+                self._indptr_dev, idx_arg)
             self.step += S
             n_seen += per_group
             losses.append(loss); accs.append(acc)

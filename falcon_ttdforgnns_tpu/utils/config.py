@@ -40,6 +40,13 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     d.add_argument("--mode", type=str, default="mixed", choices=["mixed", "puregpu"],
                    help="mixed: graph in host RAM, batches on device "
                         "(the reference's UVA analog); puregpu: graph on device")
+    d.add_argument("--sampler", type=str, default="csr",
+                   choices=["csr", "table"],
+                   help="puregpu neighbor sampling: per-edge CSR gathers, or "
+                        "a prebuilt (N, table-width) iid-uniform neighbor "
+                        "table (fewer HBM transactions per hop)")
+    d.add_argument("--table-width", type=int, default=32,
+                   help="slots per node in the --sampler table")
     d.add_argument("--synthetic-scale", type=float, default=1.0,
                    help="shrink factor for synthetic fallback datasets")
 

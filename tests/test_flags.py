@@ -141,6 +141,62 @@ class TestPureGPUMode:
         assert np.isfinite(stats["loss"])
         assert not np.allclose(before, after), "params must move"
 
+    def test_neighbor_table_membership_and_uniformity(self):
+        """Every table slot is a true neighbor (self-loop when isolated),
+        and slot draws are marginally uniform over the neighbor set."""
+        from falcon_ttdforgnns_tpu.graph.device_sampler import (
+            build_neighbor_table)
+        ds = small_ds()
+        g = ds.graph
+        tbl = build_neighbor_table(g.indptr, g.indices, width=64, seed=3)
+        assert tbl.shape == (g.num_nodes, 64)
+        for v in range(min(64, g.num_nodes)):
+            s, e = g.indptr[v], g.indptr[v + 1]
+            if e > s:
+                neigh = set(g.indices[s:e].tolist())
+                assert set(tbl[v].tolist()) <= neigh
+            else:
+                assert (tbl[v] == v).all()
+        # uniformity: over many slots, each neighbor of a high-degree node
+        # appears with frequency ~ 1/deg (loose 4-sigma binomial bound)
+        v = int(np.argmax(g.indptr[1:] - g.indptr[:-1]))
+        neigh = g.indices[g.indptr[v]:g.indptr[v + 1]]
+        uniq, mult = np.unique(neigh, return_counts=True)
+        wide = build_neighbor_table(g.indptr, g.indices, width=2048, seed=5)
+        counts = np.bincount(np.searchsorted(uniq, wide[v]),
+                             minlength=len(uniq))
+        p = mult / len(neigh)  # per-entry uniform -> multiplicity-weighted
+        sigma = np.sqrt(2048 * p * (1 - p))
+        assert (np.abs(counts - 2048 * p) < 4 * sigma + 1).all()
+
+    def test_table_sampler_flag_changes_behavior(self):
+        """--sampler table must route the puregpu step through the
+        neighbor table: _table_dev is built, sampled ids are neighbors,
+        and an epoch trains."""
+        from falcon_ttdforgnns_tpu.graph.device_sampler import (
+            device_sample_block_table)
+        ds = small_ds()
+        tr = SageTrainer(ds, small_cfg(mode="puregpu", steps_per_call=2,
+                                       sampler="table", table_width=16))
+        assert tr._table_dev is not None
+        assert tr._table_dev.shape == (ds.num_nodes, 16)
+        # layer contract matches the CSR device sampler
+        seeds = jnp.arange(8, dtype=jnp.int32)
+        layers = device_sample_block_table(tr._table_dev, seeds,
+                                           tr.cfg.fanouts,
+                                           jax.random.PRNGKey(0))
+        widths = []
+        f = 1
+        for fo in reversed(tr.cfg.fanouts):
+            f *= fo
+            widths.append(f)
+        assert [l.shape for l in layers] == [(8, w) for w in widths]
+        stats = tr.train_epoch(0)
+        assert np.isfinite(stats["loss"])
+
+        csr_tr = SageTrainer(ds, small_cfg(mode="puregpu", steps_per_call=2))
+        assert csr_tr._table_dev is None  # default csr path untouched
+
 
 class TestDistMultiStep:
     @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
