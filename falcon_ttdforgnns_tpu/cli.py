@@ -88,6 +88,7 @@ def main(argv=None):
                 mode=args.mode,
                 sampler=args.sampler,
                 table_width=args.table_width,
+                rng_impl=args.rng_impl,
                 num_workers=args.num_workers,
                 use_sample=args.use_sample,
                 grouped=(args.emb_name == "eff"),

@@ -86,6 +86,10 @@ class TrainConfig:
     # per-run neighbor diversity; see device_sampler.build_neighbor_table).
     sampler: str = "csr"
     table_width: int = 32
+    # In-step PRNG implementation: 'threefry' (JAX default, counter-based
+    # software PRNG) or 'rbg' (TPU hardware RNG instruction — cheaper bits
+    # for dropout masks / sampling randints at identical statistics).
+    rng_impl: str = "threefry"
     # --num-workers: host sampler thread-pool width (graphloader.py:261).
     num_workers: int = 1
     # --full-neighbor (use_sample=False): exact-aggregation training via
@@ -254,6 +258,14 @@ class SageTrainer:
             f *= fo
             layers.append(jnp.zeros((B, f), jnp.int32))
         return seeds, layers
+
+    def _epoch_rng(self, epoch: int) -> jax.Array:
+        """Per-epoch in-step PRNG key honoring cfg.rng_impl ('rbg' = the
+        TPU hardware RNG — cheaper dropout/randint bits, same statistics)."""
+        seed = self.cfg.seed + 1000 + epoch
+        if self.cfg.rng_impl == "rbg":
+            return jax.random.key(seed, impl="rbg")
+        return jax.random.PRNGKey(seed)
 
     def _make_step_body(self, fused: bool = False):
         """The one-optimizer-step body shared by every trainer shape
@@ -509,7 +521,7 @@ class SageTrainer:
             return self._train_epoch_device(epoch)
         if self._multi_fn is not None:
             return self._train_epoch_multi(epoch)
-        rng = jax.random.PRNGKey(cfg.seed + 1000 + epoch)
+        rng = self._epoch_rng(epoch)
         t_epoch = time.perf_counter()
         losses, accs = [], []  # device scalars; converted once at epoch end
         n_seen = 0
@@ -555,7 +567,7 @@ class SageTrainer:
     def _train_epoch_multi(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
         S = cfg.steps_per_call
-        rng = jax.random.PRNGKey(cfg.seed + 1000 + epoch)
+        rng = self._epoch_rng(epoch)
         t_epoch = time.perf_counter()
         losses, accs = [], []
         n_seen = 0
@@ -629,7 +641,7 @@ class SageTrainer:
         inside the jitted multi-step on the device-resident CSR."""
         cfg = self.cfg
         S, B = cfg.steps_per_call, cfg.batch_size
-        rng = jax.random.PRNGKey(cfg.seed + 1000 + epoch)
+        rng = self._epoch_rng(epoch)
         host_rng = np.random.default_rng(cfg.seed + 31 * epoch)
         order = host_rng.permutation(self.ds.train_idx)
         per_group = S * B
@@ -681,7 +693,7 @@ class SageTrainer:
         the README NoTT-FullNeighbor training regime."""
         cfg = self.cfg
         B = cfg.batch_size
-        rng = jax.random.PRNGKey(cfg.seed + 1000 + epoch)
+        rng = self._epoch_rng(epoch)
         host_rng = np.random.default_rng(cfg.seed + 31 * epoch)
         order = host_rng.permutation(self.ds.train_idx)
         n_batches = max(1, len(order) // B)

@@ -47,6 +47,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "table (fewer HBM transactions per hop)")
     d.add_argument("--table-width", type=int, default=32,
                    help="slots per node in the --sampler table")
+    d.add_argument("--rng-impl", type=str, default="threefry",
+                   choices=["threefry", "rbg"],
+                   help="in-step PRNG: threefry (default) or the TPU "
+                        "hardware rbg (cheaper dropout/sampling bits)")
     d.add_argument("--synthetic-scale", type=float, default=1.0,
                    help="shrink factor for synthetic fallback datasets")
 

@@ -6,7 +6,8 @@ per-dispatch relay overhead amortizes over R*S optimizer steps, so
 wall/(R*S) approaches the true device step time (round-1 methodology;
 see docs/PERFORMANCE.md).
 
-Usage: python scripts/step_probe.py [S] [R] [--sparse]
+Usage: python scripts/step_probe.py [S] [R] [--sparse] [--puregpu]
+                                    [--table] [--dropout0]
 """
 
 import os
@@ -23,6 +24,10 @@ def main():
     R = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     sparse = "--sparse" in sys.argv
     puregpu = "--puregpu" in sys.argv
+    table = "--table" in sys.argv      # --sampler table (implies puregpu)
+    dropout0 = "--dropout0" in sys.argv  # isolate dropout PRNG+mask cost
+    rbg = "--rbg" in sys.argv          # TPU hardware RNG for in-step bits
+    puregpu = puregpu or table
 
     import jax
     import jax.numpy as jnp
@@ -37,13 +42,16 @@ def main():
                       q_shapes=(4, 5, 5), weight_dist="approx-normal",
                       steps_per_call=S, sparse=sparse,
                       mode="puregpu" if puregpu else "mixed",
+                      sampler="table" if table else "csr",
+                      dropout=0.0 if dropout0 else 0.5,
+                      rng_impl="rbg" if rbg else "threefry",
                       eval_every=10**9, log_every=10**9)
     t0 = time.time()
     tr = SageTrainer(ds, cfg)
     print(f"trainer init {time.time() - t0:.0f}s (sparse={tr._fused_sparse} "
           f"mode={cfg.mode})", flush=True)
 
-    rng = jax.random.PRNGKey(0)
+    rng = tr._epoch_rng(0)
     if puregpu:
         B = cfg.batch_size
         pick = np.random.default_rng(0).choice(ds.train_idx, S * B)
@@ -52,9 +60,12 @@ def main():
         packed_np[:, :, 1] = ds.labels[pick].reshape(S, B)
         packed = jnp.asarray(packed_np)
 
+        idx_arg = (tr._table_dev if getattr(tr, "_table_dev", None)
+                   is not None else tr._indices_dev)
+
         def dispatch(v, o, k):
             return tr._device_multi_fn(v, o, packed, k,
-                                       tr._indptr_dev, tr._indices_dev)
+                                       tr._indptr_dev, idx_arg)
     else:
         it = iter(tr.loader)
         group = [next(it) for _ in range(S)]

@@ -66,6 +66,9 @@ def main():
                          "group); puregpu = CSR in HBM, sampling inside the "
                          "jitted step (393KB/group transfer — the win when "
                          "host->device bandwidth is the wall)")
+    ap.add_argument("--sampler", default="csr", choices=["csr", "table"],
+                    help="puregpu sampling path (see TrainConfig.sampler)")
+    ap.add_argument("--table-width", type=int, default=32)
     args = ap.parse_args()
 
     import jax
@@ -88,6 +91,7 @@ def main():
                       cache_size=args.cache_size,
                       steps_per_call=args.steps_per_call,
                       mode=args.mode,
+                      sampler=args.sampler, table_width=args.table_width,
                       eval_every=10**9, log_every=args.log_every)
     t0 = time.time()
     logger = None

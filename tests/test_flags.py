@@ -197,6 +197,17 @@ class TestPureGPUMode:
         csr_tr = SageTrainer(ds, small_cfg(mode="puregpu", steps_per_call=2))
         assert csr_tr._table_dev is None  # default csr path untouched
 
+    def test_rbg_rng_impl_trains(self):
+        """--rng-impl rbg must route in-step randomness through the rbg
+        generator (typed key) and still train."""
+        ds = small_ds()
+        tr = SageTrainer(ds, small_cfg(mode="puregpu", steps_per_call=2,
+                                       rng_impl="rbg"))
+        key = tr._epoch_rng(0)
+        assert jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
+        stats = tr.train_epoch(0)
+        assert np.isfinite(stats["loss"])
+
 
 class TestDistMultiStep:
     @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
