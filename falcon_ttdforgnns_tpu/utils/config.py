@@ -151,7 +151,10 @@ DATASET_PRESETS = {
 
 
 def apply_preset(args: argparse.Namespace) -> argparse.Namespace:
-    preset = DATASET_PRESETS.get(args.dataset)
+    # hard-<name> (planted-partition at <name>'s scale) shares <name>'s
+    # TT-shape preset — same node count, same factorization.
+    base = args.dataset[5:] if args.dataset.startswith("hard-") else args.dataset
+    preset = DATASET_PRESETS.get(base)
     if preset:
         if args.p_shapes is None:
             args.p_shapes = preset["p_shapes"]

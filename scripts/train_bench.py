@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--sampler", default="csr", choices=["csr", "table"],
                     help="puregpu sampling path (see TrainConfig.sampler)")
     ap.add_argument("--table-width", type=int, default=32)
+    ap.add_argument("--rng-impl", default="threefry",
+                    choices=["threefry", "rbg"])
     args = ap.parse_args()
 
     import jax
@@ -92,6 +94,7 @@ def main():
                       steps_per_call=args.steps_per_call,
                       mode=args.mode,
                       sampler=args.sampler, table_width=args.table_width,
+                      rng_impl=args.rng_impl,
                       eval_every=10**9, log_every=args.log_every)
     t0 = time.time()
     logger = None
