@@ -353,8 +353,16 @@ def load_ogb_raw(name: str, root: str = "dataset") -> NodeDataset:
         raise FileNotFoundError(raw)
 
     def read_csv_gz(path, dtype):
-        with gzip.open(path, "rt") as f:
-            return np.loadtxt(f, dtype=dtype, delimiter=",", ndmin=2)
+        # pandas' C parser is ~50x faster than np.loadtxt with bounded
+        # memory — edge.csv.gz is 123M lines at products scale, 3.2B at
+        # papers100M; loadtxt's Python line loop would take ~an hour there.
+        try:
+            import pandas as pd
+            arr = pd.read_csv(path, header=None, dtype=dtype).to_numpy()
+            return arr if arr.ndim == 2 else arr[:, None]
+        except ImportError:
+            with gzip.open(path, "rt") as f:
+                return np.loadtxt(f, dtype=dtype, delimiter=",", ndmin=2)
 
     n = int(read_csv_gz(os.path.join(raw, "num-node-list.csv.gz"),
                         np.int64)[0, 0])

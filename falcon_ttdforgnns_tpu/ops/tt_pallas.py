@@ -100,16 +100,20 @@ def _core_rows(shapes: TTShapes, k: int) -> int:
 
 
 def _gather_crt(shapes: TTShapes, block: int, compute_dtype,
-                idx: jax.Array, core_refs):
+                idx: jax.Array, core_refs, cast: bool = False):
     """Per-core one-hot MXU row-selects: crT[k] (r_in*q_k*r_out, block),
-    plus the one-hots (kept for the backward scatter)."""
+    plus the one-hots (kept for the backward scatter).  ``cast=True`` for
+    kernels whose core inputs stay f32 (the fused optimizer's master
+    weights): the compute copy is cast in-kernel instead of host-side."""
     crT, ohs = [], []
     for k in range(shapes.ndim):
         d = (idx // shapes.strides[k]) % shapes.p_shapes[k]
         oh = _onehot_t(d, shapes.p_shapes[k], block, compute_dtype)
         ohs.append(oh)
-        crT.append(jnp.dot(core_refs[k][:], oh,
-                           preferred_element_type=jnp.float32))
+        c = core_refs[k][:]
+        if cast:
+            c = c.astype(compute_dtype)
+        crT.append(jnp.dot(c, oh, preferred_element_type=jnp.float32))
     return crT, ohs
 
 
@@ -258,12 +262,16 @@ def _sgd_kernel(shapes: TTShapes, block: int, compute_dtype, lr: float,
     o_refs = refs[2 + T:]
     i = pl.program_id(0)
 
+    # core inputs are f32 master weights: the output accumulator must be
+    # seeded from them UNcast, or every fused step re-quantizes the cores
+    # to bf16 and sub-ulp updates are erased at the next step's cast
     @pl.when(i == 0)
     def _init():
         for o, c in zip(o_refs, core_refs):
-            o[:, :] = c[:].astype(jnp.float32)
+            o[:, :] = c[:]
 
-    crT, ohs = _gather_crt(shapes, block, compute_dtype, idx_ref[:], core_refs)
+    crT, ohs = _gather_crt(shapes, block, compute_dtype, idx_ref[:],
+                           core_refs, cast=True)
     levels = _fwd_chain(shapes, crT, skip_last=True)
 
     def emit(k, contrib):
@@ -474,7 +482,9 @@ def tt_fused_sgd_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
     B = indices.shape[0]
     n_blocks = B // block
 
-    cts = _core_unfoldings(shapes, cores, compute_dtype, last_u_major=True)
+    # master weights enter the kernel in f32 (the compute copy is cast
+    # in-kernel); bf16-casting here would quantize the weights every step
+    cts = _core_unfoldings(shapes, cores, jnp.float32, last_u_major=True)
     doutT = d_out.T.astype(jnp.float32)
     specs, shp = _tile_specs(shapes)
 

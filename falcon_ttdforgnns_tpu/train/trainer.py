@@ -147,6 +147,13 @@ class SageTrainer:
         self._device_multi_fn = None
         self._full_step_fn = None
         self._fused_sparse = False
+        if cfg.dist and not cfg.use_sample:
+            # train_epoch dispatches on use_sample first, so the DP branch's
+            # step fns would never be reached — fail loudly instead of
+            # crashing on a None _full_step_fn at the first batch
+            raise ValueError("--dist is a sampled-minibatch DP path; "
+                             "full-neighbor training scales out via "
+                             "--node-shard instead")
         if cfg.dist and jax.device_count() > 1:
             # DDP analog (`sage_dgl_partition.py:198-255`): mesh DP — params
             # replicated, batch sharded, grads psum'd by XLA.
@@ -222,8 +229,15 @@ class SageTrainer:
         """CSR arrays -> HBM for puregpu sampling / full-neighbor training
         (`--mode puregpu` placement semantics, `sage_dgl_partition.py:211`)."""
         g = self.ds.graph
-        ptr_dtype = np.int64 if g.num_edges >= 2**31 else np.int32
-        self._indptr_dev = jnp.asarray(g.indptr.astype(ptr_dtype))
+        if g.num_edges >= 2**31:
+            # jnp.asarray silently truncates int64 -> int32 (x64 is never
+            # enabled), so device-resident indptr would wrap negative past
+            # 2^31 edges and sampling would silently read node 0's rows.
+            raise NotImplementedError(
+                f"device-resident CSR needs indptr entries < 2^31, got "
+                f"{g.num_edges} edges; use host sampling (--mode mixed) or "
+                f"--node-shard (each shard's edge block stays below 2^31)")
+        self._indptr_dev = jnp.asarray(g.indptr.astype(np.int32))
         self._indices_dev = jnp.asarray(g.indices.astype(np.int32))
         self._table_dev = None
         if self.cfg.sampler == "table" and self.cfg.use_sample:
@@ -258,6 +272,15 @@ class SageTrainer:
             f *= fo
             layers.append(jnp.zeros((B, f), jnp.int32))
         return seeds, layers
+
+    @staticmethod
+    def _wrap_full(pick: np.ndarray, order: np.ndarray, size: int) -> np.ndarray:
+        """Extend a ragged tail to exactly ``size`` ids by wrapping around
+        the epoch order — cyclically, so it stays full-size even when the
+        whole index set is smaller than one group (tiny --synthetic-scale)."""
+        if len(pick) == size:
+            return pick
+        return np.resize(np.concatenate([pick, order]), size)
 
     def _epoch_rng(self, epoch: int) -> jax.Array:
         """Per-epoch in-step PRNG key honoring cfg.rng_impl ('rbg' = the
@@ -651,9 +674,8 @@ class SageTrainer:
         n_seen = 0
         t0 = time.perf_counter()
         for g in range(n_groups):
-            pick = order[g * per_group:(g + 1) * per_group]
-            if len(pick) < per_group:  # wrap the ragged tail
-                pick = np.concatenate([pick, order[: per_group - len(pick)]])
+            pick = self._wrap_full(order[g * per_group:(g + 1) * per_group],
+                                   order, per_group)
             packed = np.empty((S, B, 2), np.int32)
             packed[:, :, 0] = pick.reshape(S, B)
             packed[:, :, 1] = self.ds.labels[pick].reshape(S, B)
@@ -701,9 +723,7 @@ class SageTrainer:
         losses, accs = [], []
         t0 = time.perf_counter()
         for b in range(n_batches):
-            pick = order[b * B:(b + 1) * B]
-            if len(pick) < B:
-                pick = np.concatenate([pick, order[: B - len(pick)]])
+            pick = self._wrap_full(order[b * B:(b + 1) * B], order, B)
             seeds = jnp.asarray(pick.astype(np.int32))
             labels = jnp.asarray(self.ds.labels[pick].astype(np.int32))
             rng, sub = jax.random.split(rng)
@@ -854,8 +874,10 @@ class SageTrainer:
                 from ..ops.spmm_pallas import (auto_tile_edges,
                                                build_spmm_tiles_uniform)
                 e_t = auto_tile_edges(len(src), n)
-                # bound the per-chunk gathered msgs to ~1 GB bf16
-                tpc = max(256, (1 << 30) // (e_t * 256 * 2))
+                # bound the per-chunk gathered msgs to ~1 GB bf16 at the
+                # widest feature dim the propagation actually uses
+                D = max(ds.feat_dim, cfg.hidden_dim)
+                tpc = max(256, (1 << 30) // (e_t * D * 2))
                 tu = build_spmm_tiles_uniform(src.astype(np.int32), dst, n,
                                               tile_edges=e_t,
                                               tiles_per_chunk=tpc)

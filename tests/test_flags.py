@@ -272,3 +272,39 @@ class TestNodeShardTraining:
         assert getattr(tr, "_nshard_train", False)
         stats = tr.train_epoch(0)
         assert np.isfinite(stats["loss"])
+
+
+class TestEpochEdgeCases:
+    def test_wrap_full_cyclic(self):
+        """Ragged-tail wrap stays full-size even when the whole index set
+        is smaller than one group (tiny --synthetic-scale crash)."""
+        order = np.arange(10)
+        out = SageTrainer._wrap_full(order[:10], order, 10)
+        assert len(out) == 10
+        out = SageTrainer._wrap_full(order[0:0][:0], order, 32)
+        assert len(out) == 32
+        out = SageTrainer._wrap_full(order[8:10], order, 32)
+        assert len(out) == 32 and out[0] == 8 and out[1] == 9
+
+    def test_puregpu_tiny_trainset(self):
+        """per_group larger than the train set must not crash the reshape."""
+        ds = small_ds(n=600)
+        tr = SageTrainer(ds, small_cfg(mode="puregpu", steps_per_call=8,
+                                       batch_size=64))
+        assert len(ds.train_idx) < 8 * 64
+        m = tr.train_epoch(0)
+        assert np.isfinite(m["loss"])
+
+    def test_full_neighbor_tiny_trainset(self):
+        ds = small_ds(n=600)
+        tr = SageTrainer(ds, small_cfg(use_sample=False, batch_size=512))
+        assert len(ds.train_idx) < 512
+        m = tr.train_epoch(0)
+        assert np.isfinite(m["loss"])
+
+    def test_dist_full_neighbor_rejected(self):
+        """--dist + --full-neighbor would crash on a None step fn at the
+        first batch; it must fail loudly at construction instead."""
+        ds = small_ds()
+        with pytest.raises(ValueError, match="node-shard"):
+            SageTrainer(ds, small_cfg(use_sample=False, dist=True))

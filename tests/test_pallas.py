@@ -141,3 +141,20 @@ def test_two_core_kernel():
                            compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_sgd_preserves_f32_master(case):
+    """bf16 compute must not quantize the f32 master weights: with a zero
+    gradient the fused step is an exact identity (previously each step
+    returned bf16(cores), erasing sub-ulp updates)."""
+    from falcon_ttdforgnns_tpu.ops.tt_pallas import tt_fused_sgd_pallas
+    shapes, cores = case
+    # nudge the cores off the bf16 grid so a hidden bf16 round-trip shows
+    cores = tuple(c + 1e-4 * np.pi for c in cores)
+    idx = jnp.asarray(np.arange(128, dtype=np.int32) % shapes.num_embeddings)
+    g = jnp.zeros((128, shapes.embedding_dim), jnp.float32)
+    new = tt_fused_sgd_pallas(shapes, cores, idx, g, lr=0.05, block=128,
+                              compute_dtype=jnp.bfloat16, interpret=True)
+    for nc, c in zip(new, cores):
+        assert nc.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(nc), np.asarray(c))
