@@ -101,6 +101,52 @@ class TrainConfig:
     node_shard: bool = False
 
 
+class _EpochMeter:
+    """Per-epoch bookkeeping shared by every train-epoch variant: loss/acc
+    device scalars accumulate unsynced (one host sync per log window), a
+    throttled throughput log line, and the epoch summary dict."""
+
+    def __init__(self, trainer: "SageTrainer", epoch: int, tag: str = ""):
+        self._tr, self._epoch, self._tag = trainer, epoch, tag
+        self._losses: List = []
+        self._accs: List = []
+        self._n_seen = 0
+        self._window = 0
+        self._t_epoch = time.perf_counter()
+        self._t0 = self._t_epoch
+
+    def record(self, loss, acc, n_samples: int, log_now: bool) -> None:
+        self._losses.append(loss)
+        self._accs.append(acc)
+        self._n_seen += n_samples
+        self._window += n_samples
+        if not log_now:
+            return
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - self._t0
+        tput = self._window / max(dt, 1e-9)
+        tr = self._tr
+        tr._metrics["loss"].append(float(loss))
+        tr._metrics["throughput"].append(tput)
+        if tr.logger:
+            tr.logger.info(
+                f"epoch {self._epoch} step {tr.step} loss {float(loss):.4f} "
+                f"acc {float(acc):.4f} {tput:.0f} samples/s{self._tag}")
+        self._t0 = time.perf_counter()
+        self._window = 0
+
+    def summary(self) -> Dict[str, float]:
+        losses = [float(l) for l in self._losses]
+        accs = [float(a) for a in self._accs]
+        epoch_time = time.perf_counter() - self._t_epoch
+        return {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "train_acc": float(np.mean(accs)) if accs else float("nan"),
+            "epoch_time": epoch_time,
+            "samples_per_s": self._n_seen / epoch_time,
+        }
+
+
 class SageTrainer:
     def __init__(self, dataset: NodeDataset, config: TrainConfig,
                  logger=None, precomputed_cores=None):
@@ -545,10 +591,7 @@ class SageTrainer:
         if self._multi_fn is not None:
             return self._train_epoch_multi(epoch)
         rng = self._epoch_rng(epoch)
-        t_epoch = time.perf_counter()
-        losses, accs = [], []  # device scalars; converted once at epoch end
-        n_seen = 0
-        t0 = time.perf_counter()
+        meter = _EpochMeter(self, epoch)
         for it, batch in enumerate(self.loader):
             rng, sub = jax.random.split(rng)
             if self.mesh is not None:
@@ -564,38 +607,15 @@ class SageTrainer:
             self.variables, self.opt_state, loss, acc = self._step_fn(
                 self.variables, self.opt_state, seeds, layers, labels, sub)
             self.step += 1
-            n_seen += cfg.batch_size
-            losses.append(loss); accs.append(acc)
-            if (it + 1) % cfg.log_every == 0:
-                jax.block_until_ready(loss)
-                dt = time.perf_counter() - t0
-                tput = cfg.log_every * cfg.batch_size / dt
-                self._metrics["loss"].append(float(loss))
-                self._metrics["throughput"].append(tput)
-                if self.logger:
-                    self.logger.info(
-                        f"epoch {epoch} step {it + 1} loss {float(loss):.4f} "
-                        f"acc {float(acc):.4f} {tput:.0f} samples/s")
-                t0 = time.perf_counter()
-        losses = [float(l) for l in losses]
-        accs = [float(a) for a in accs]
-        epoch_time = time.perf_counter() - t_epoch
-        return {
-            "loss": float(np.mean(losses)) if losses else float("nan"),
-            "train_acc": float(np.mean(accs)) if accs else float("nan"),
-            "epoch_time": epoch_time,
-            "samples_per_s": n_seen / epoch_time,
-        }
+            meter.record(loss, acc, cfg.batch_size,
+                         log_now=(it + 1) % cfg.log_every == 0)
+        return meter.summary()
 
     def _train_epoch_multi(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
         S = cfg.steps_per_call
         rng = self._epoch_rng(epoch)
-        t_epoch = time.perf_counter()
-        losses, accs = [], []
-        n_seen = 0
-        window_seen = 0
-        t0 = time.perf_counter()
+        meter = _EpochMeter(self, epoch)
         # background prefetch: sample + pack + device_put group g+1 while
         # the device executes group g
         import concurrent.futures as _cf
@@ -625,39 +645,17 @@ class SageTrainer:
                 self.variables, self.opt_state, packed, sub)
             gi = self.step // S
             self.step += S
-            n_seen += S * cfg.batch_size
-            window_seen += S * cfg.batch_size
-            losses.append(loss); accs.append(acc)
-            if (gi + 1) * S % cfg.log_every < S:
-                jax.block_until_ready(loss)
-                dt = time.perf_counter() - t0
-                tput = window_seen / max(dt, 1e-9)
-                self._metrics["loss"].append(float(loss))
-                self._metrics["throughput"].append(tput)
-                if self.logger:
-                    self.logger.info(
-                        f"epoch {epoch} step {self.step} loss {float(loss):.4f} "
-                        f"acc {float(acc):.4f} {tput:.0f} samples/s")
-                t0 = time.perf_counter()
-                window_seen = 0
+            meter.record(loss, acc, S * cfg.batch_size,
+                         log_now=(gi + 1) * S % cfg.log_every < S)
         if pending is not None:  # flush the last prefetched group
             packed = pending.result()
             rng, sub = jax.random.split(rng)
             self.variables, self.opt_state, loss, acc = self._multi_fn(
                 self.variables, self.opt_state, packed, sub)
             self.step += S
-            n_seen += S * cfg.batch_size
-            losses.append(loss); accs.append(acc)
+            meter.record(loss, acc, S * cfg.batch_size, log_now=False)
         pool.shutdown(wait=False)
-        losses = [float(l) for l in losses]
-        accs = [float(a) for a in accs]
-        epoch_time = time.perf_counter() - t_epoch
-        return {
-            "loss": float(np.mean(losses)) if losses else float("nan"),
-            "train_acc": float(np.mean(accs)) if accs else float("nan"),
-            "epoch_time": epoch_time,
-            "samples_per_s": n_seen / epoch_time,
-        }
+        return meter.summary()
 
     def _train_epoch_device(self, epoch: int) -> Dict[str, float]:
         """`--mode puregpu`: iterate shuffled seed groups; sampling happens
@@ -669,10 +667,7 @@ class SageTrainer:
         order = host_rng.permutation(self.ds.train_idx)
         per_group = S * B
         n_groups = max(1, len(order) // per_group)
-        t_epoch = time.perf_counter()
-        losses, accs = [], []
-        n_seen = 0
-        t0 = time.perf_counter()
+        meter = _EpochMeter(self, epoch)
         for g in range(n_groups):
             pick = self._wrap_full(order[g * per_group:(g + 1) * per_group],
                                    order, per_group)
@@ -686,28 +681,9 @@ class SageTrainer:
                 self.variables, self.opt_state, jnp.asarray(packed), sub,
                 self._indptr_dev, idx_arg)
             self.step += S
-            n_seen += per_group
-            losses.append(loss); accs.append(acc)
-            if (g + 1) % max(1, cfg.log_every // S) == 0:
-                jax.block_until_ready(loss)
-                dt = time.perf_counter() - t0
-                tput = max(1, cfg.log_every // S) * per_group / dt
-                self._metrics["loss"].append(float(loss))
-                self._metrics["throughput"].append(tput)
-                if self.logger:
-                    self.logger.info(
-                        f"epoch {epoch} step {self.step} loss {float(loss):.4f} "
-                        f"acc {float(acc):.4f} {tput:.0f} samples/s")
-                t0 = time.perf_counter()
-        losses = [float(l) for l in losses]
-        accs = [float(a) for a in accs]
-        epoch_time = time.perf_counter() - t_epoch
-        return {
-            "loss": float(np.mean(losses)) if losses else float("nan"),
-            "train_acc": float(np.mean(accs)) if accs else float("nan"),
-            "epoch_time": epoch_time,
-            "samples_per_s": n_seen / epoch_time,
-        }
+            meter.record(loss, acc, per_group,
+                         log_now=(g + 1) % max(1, cfg.log_every // S) == 0)
+        return meter.summary()
 
     def _train_epoch_full_neighbor(self, epoch: int) -> Dict[str, float]:
         """`--full-neighbor`: per-minibatch steps with EXACT neighborhood
@@ -719,9 +695,7 @@ class SageTrainer:
         host_rng = np.random.default_rng(cfg.seed + 31 * epoch)
         order = host_rng.permutation(self.ds.train_idx)
         n_batches = max(1, len(order) // B)
-        t_epoch = time.perf_counter()
-        losses, accs = [], []
-        t0 = time.perf_counter()
+        meter = _EpochMeter(self, epoch, tag=" (full-nbr)")
         for b in range(n_batches):
             pick = self._wrap_full(order[b * B:(b + 1) * B], order, B)
             seeds = jnp.asarray(pick.astype(np.int32))
@@ -737,27 +711,9 @@ class SageTrainer:
                     self.variables, self.opt_state, self._src_dev,
                     self._dst_dev, self._indeg_dev, seeds, labels, sub)
             self.step += 1
-            losses.append(loss); accs.append(acc)
-            if (b + 1) % cfg.log_every == 0:
-                jax.block_until_ready(loss)
-                dt = time.perf_counter() - t0
-                tput = cfg.log_every * B / dt
-                self._metrics["loss"].append(float(loss))
-                self._metrics["throughput"].append(tput)
-                if self.logger:
-                    self.logger.info(
-                        f"epoch {epoch} step {self.step} loss {float(loss):.4f} "
-                        f"acc {float(acc):.4f} {tput:.0f} samples/s (full-nbr)")
-                t0 = time.perf_counter()
-        losses = [float(l) for l in losses]
-        accs = [float(a) for a in accs]
-        epoch_time = time.perf_counter() - t_epoch
-        return {
-            "loss": float(np.mean(losses)) if losses else float("nan"),
-            "train_acc": float(np.mean(accs)) if accs else float("nan"),
-            "epoch_time": epoch_time,
-            "samples_per_s": n_batches * B / epoch_time,
-        }
+            meter.record(loss, acc, B,
+                         log_now=(b + 1) % cfg.log_every == 0)
+        return meter.summary()
 
     def maybe_populate_cache(self):
         """After warmup epoch(s): build the hot-row cache
