@@ -122,8 +122,10 @@ class NeighborLoader:
 
     def _batch_seeds(self, order: np.ndarray, b: int) -> np.ndarray:
         pick = order[b * self.batch_size:(b + 1) * self.batch_size]
-        if len(pick) < self.batch_size:  # wrap the ragged tail
-            pick = np.concatenate([pick, order[: self.batch_size - len(pick)]])
+        if len(pick) < self.batch_size:  # wrap the ragged tail (cyclically,
+            # so batches stay full-size even when the whole seed set is
+            # smaller than one batch — the jitted step's shape contract)
+            pick = np.resize(np.concatenate([pick, order]), self.batch_size)
         return self.seed_nodes[pick]
 
     def _make_batch(self, seeds: np.ndarray, rng: np.random.Generator) -> SampledBatch:

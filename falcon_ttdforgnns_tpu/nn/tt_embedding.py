@@ -24,6 +24,7 @@ in-kernel SGD) not replicated (SURVEY.md §7 watch-items).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -38,15 +39,36 @@ from ..ops.tt_shapes import TTShapes, make_tt_shapes
 from ..ops import tt_init
 
 
+@functools.lru_cache(maxsize=64)
+def _cores_for(shapes: TTShapes, weight_dist: str, seed: int):
+    """Memoized host-side init per (shapes, dist, seed): flax re-runs param
+    init fns (module re-construction, eval_shape validation), so without
+    the cache each re-run pays the full T-core numpy construction."""
+    return tuple(tt_init.init_tt_cores(shapes, weight_dist, seed=seed))
+
+
 def _core_init(shapes: TTShapes, weight_dist: str, k: int, seed: int) -> Callable:
     # NOTE: the rng key is ignored — flax re-runs param init fns under
     # jax.eval_shape to validate shapes during apply, so the init must be
     # traceable; the host-side numpy init draws from a static seed instead.
+    # The per-core seed offset is load-bearing: it pins the round-1/2
+    # initialization stream that every seeded accuracy baseline was
+    # measured against.
     def init(key, shape=None, dtype=jnp.float32):
-        cores = tt_init.init_tt_cores(shapes, weight_dist, seed=seed + 7919 * k)
-        return jnp.asarray(cores[k], dtype=dtype)
+        return jnp.asarray(
+            _cores_for(shapes, weight_dist, seed + 7919 * k)[k], dtype=dtype)
 
     return init
+
+
+def _pool(rows: jax.Array, offsets: jax.Array) -> jax.Array:
+    """EmbeddingBag sum-pooling: segment the looked-up rows by bag
+    boundaries (`reduce_output_kernel` semantics, cu:923-965)."""
+    num_bags = offsets.shape[0] - 1
+    positions = jnp.arange(rows.shape[0], dtype=jnp.int32)
+    rowidx = jnp.searchsorted(offsets[1:-1].astype(jnp.int32), positions,
+                              "right")
+    return jax.ops.segment_sum(rows, rowidx, num_segments=num_bags)
 
 
 class TTEmbeddingBag(nn.Module):
@@ -85,7 +107,9 @@ class TTEmbeddingBag(nn.Module):
     def _use_pallas(self) -> bool:
         if self.kernel == "pallas":
             return True
-        if self.kernel == "xla":
+        # grouped dedup only exists on the XLA path; under kernel='auto' the
+        # opt-in must win over the Pallas default or the flag is a no-op
+        if self.kernel == "xla" or self.grouped:
             return False
         return jax.default_backend() == "tpu" and self.shapes.ndim in (2, 3, 4)
 
@@ -140,18 +164,10 @@ class TTEmbeddingBag(nn.Module):
             tt_idx, hit, slot = cache_ops.split_indices(meta, indices)
             rows = self._lookup(tt_idx)
             rows = cache_ops.cached_forward(self.cache_weight, rows, hit, slot)
-            if offsets is not None:
-                num_bags = offsets.shape[0] - 1
-                positions = jnp.arange(indices.shape[0], dtype=jnp.int32)
-                rowidx = jnp.searchsorted(offsets[1:-1].astype(jnp.int32), positions, "right")
-                rows = jax.ops.segment_sum(rows, rowidx, num_segments=num_bags)
-            return rows
-        rows = self._lookup(indices.astype(jnp.int32))
+        else:
+            rows = self._lookup(indices.astype(jnp.int32))
         if offsets is not None:
-            num_bags = offsets.shape[0] - 1
-            positions = jnp.arange(indices.shape[0], dtype=jnp.int32)
-            rowidx = jnp.searchsorted(offsets[1:-1].astype(jnp.int32), positions, "right")
-            rows = jax.ops.segment_sum(rows, rowidx, num_segments=num_bags)
+            rows = _pool(rows, offsets)
         return rows
 
     def full_weight(self) -> jax.Array:
@@ -189,10 +205,7 @@ class DenseEmbedding(nn.Module):
                            (self.num_embeddings, self.embedding_dim))
         rows = jnp.take(table, indices, axis=0)
         if offsets is not None:
-            num_bags = offsets.shape[0] - 1
-            positions = jnp.arange(indices.shape[0], dtype=jnp.int32)
-            rowidx = jnp.searchsorted(offsets[1:-1].astype(jnp.int32), positions, "right")
-            rows = jax.ops.segment_sum(rows, rowidx, num_segments=num_bags)
+            rows = _pool(rows, offsets)
         return rows
 
     def full_weight(self) -> jax.Array:
@@ -263,13 +276,13 @@ class TableBatchedTTEmbeddingBag(nn.Module):
                                 self.tt_ranks, self.p_shapes, self.q_shapes)
 
         def stacked(k):
-            # distinct host-numpy seed per table (the flax rng is unusable
-            # here — see _core_init; split_rngs would leave tables equal)
+            # distinct host-numpy seed per (core, table) — the flax rng is
+            # unusable here, see _core_init; _cores_for memoizes re-runs
             def init(key, shape=None, dtype=jnp.float32):
                 return jnp.stack([
-                    jnp.asarray(tt_init.init_tt_cores(
+                    jnp.asarray(_cores_for(
                         shapes, self.weight_dist,
-                        seed=self.init_seed + 7919 * k + 104729 * t)[k],
+                        self.init_seed + 7919 * k + 104729 * t)[k],
                         dtype=dtype)
                     for t in range(self.num_tables)])
             return init
@@ -303,11 +316,7 @@ class FixedFeatureEmbedding(nn.Module):
                               lambda: jnp.asarray(self.features, jnp.float32))
         rows = jnp.take(feats.value, indices, axis=0)
         if offsets is not None:
-            num_bags = offsets.shape[0] - 1
-            positions = jnp.arange(indices.shape[0], dtype=jnp.int32)
-            rowidx = jnp.searchsorted(offsets[1:-1].astype(jnp.int32),
-                                      positions, "right")
-            rows = jax.ops.segment_sum(rows, rowidx, num_segments=num_bags)
+            rows = _pool(rows, offsets)
         return rows
 
     def full_weight(self) -> jax.Array:

@@ -44,16 +44,19 @@ from .tt_lookup import Cores, tt_lookup_gather
 class CacheMeta(NamedTuple):
     """Non-differentiable cache metadata (mutable 'ttcache' collection).
 
-    freq:      (N,) int32   LFU access counters (hashtbl+cache_freq analog)
-    ids:       (K,) int32   sorted cached node ids; -1 = empty slot
-    opt_state: (K,) f32     row-wise adagrad accumulator (cache_optimizer_state)
-    ready:     ()  bool     False during warmup (before first populate,
-                            `tt_embeddings_ops.py:615` warmup flag)
-    """
+    freq:  (N,) int32   LFU access counters (hashtbl+cache_freq analog)
+    ids:   (K,) int32   sorted cached node ids; -1 = empty slot
+    ready: ()  bool     False during warmup (before first populate,
+                        `tt_embeddings_ops.py:615` warmup flag)
+
+    The cached rows' optimizer state (the reference's
+    ``cache_optimizer_state``, `cu:1746-1846`) is NOT held here: gradients
+    to ``cache_weight`` flow functionally and ``train/optim.py``'s routed
+    ``rowwise_adagrad`` owns the per-slot accumulator (reset at populate
+    by ``reset_cache_opt_state`` — slot→id assignments change)."""
 
     freq: jax.Array
     ids: jax.Array
-    opt_state: jax.Array
     ready: jax.Array
 
 
@@ -61,7 +64,6 @@ def init_meta(num_embeddings: int, cache_size: int) -> CacheMeta:
     return CacheMeta(
         freq=jnp.zeros((num_embeddings,), dtype=jnp.int32),
         ids=jnp.full((cache_size,), -1, dtype=jnp.int32),
-        opt_state=jnp.zeros((cache_size,), dtype=jnp.float32),
         ready=jnp.zeros((), dtype=jnp.bool_),
     )
 
@@ -97,7 +99,6 @@ def populate(shapes: TTShapes, cores: Cores, meta: CacheMeta,
     weight = jnp.where((ids >= 0)[:, None], weight, 0.0)
     new_meta = meta._replace(
         ids=ids,
-        opt_state=jnp.zeros_like(meta.opt_state),
         ready=jnp.ones((), dtype=jnp.bool_),
     )
     return new_meta, weight
@@ -131,29 +132,6 @@ def cached_forward(cache_weight: jax.Array, tt_rows: jax.Array, hit: jax.Array,
     select, no bespoke backward kernels needed."""
     cached = jnp.take(cache_weight, slot, axis=0)
     return jnp.where(hit[:, None], cached, tt_rows)
-
-
-# ---------------------------------------------------------------------------
-# cached-row optimizer updates (the reference fuses these into backward:
-# cache_backward_sgd / cache_backward_rowwise_adagrad_approx,
-# `cu:1585-1846`; functionally applied in the train step via
-# train/optim.py's multi-transform routing)
-# ---------------------------------------------------------------------------
-
-def cache_sgd_update(weight: jax.Array, d_weight: jax.Array, lr: float) -> jax.Array:
-    return weight - lr * d_weight
-
-
-def cache_rowwise_adagrad_update(
-    meta: CacheMeta, weight: jax.Array, d_weight: jax.Array,
-    lr: float, eps: float = 1e-8,
-) -> Tuple[CacheMeta, jax.Array]:
-    """Row-wise adagrad: accumulate mean squared gradient per row, scale the
-    row update by rsqrt (semantics of `cu:1746-1846`)."""
-    msg = jnp.mean(d_weight * d_weight, axis=1)
-    acc = meta.opt_state + msg
-    scale = lr * jax.lax.rsqrt(acc + eps)
-    return meta._replace(opt_state=acc), weight - scale[:, None] * d_weight
 
 
 def reset(meta: CacheMeta) -> CacheMeta:

@@ -152,19 +152,27 @@ def _partials(shapes: TTShapes, cores: Cores, digits: Sequence[jax.Array]):
     B = digits[0].shape[0]
     fr = shapes.full_ranks
 
+    # incremental O(T): each prefix/suffix extends the previous one (the
+    # naive per-k _chain(0,k)/_chain(k+1,T) re-contracts shared products —
+    # ~2x the GEMM work at T=4 in the hot backward path)
     lefts: List[jax.Array] = [jnp.ones((B, 1, 1), dtype=cores[0].dtype)]
-    for k in range(1, T):
-        g = _chain(shapes, cores, digits, 0, k)  # (B, L_k, r_k)
+    if T > 1:
+        g = jnp.take(cores[0], digits[0], axis=0).reshape(B, -1, fr[1])
         lefts.append(g)
+        for k in range(1, T - 1):
+            c = jnp.take(cores[k], digits[k], axis=0)
+            c = c.reshape(B, fr[k], -1)
+            g = jnp.einsum("bdr,brm->bdm", lefts[-1], c,
+                           preferred_element_type=jnp.float32)
+            lefts.append(g.reshape(B, -1, fr[k + 1]))
 
     rights: List[jax.Array] = [None] * T  # type: ignore
     rights[T - 1] = jnp.ones((B, 1, 1), dtype=cores[0].dtype)
     for k in range(T - 2, -1, -1):
-        g = _chain(shapes, cores, digits, k + 1, T)  # (B, R_k_rows?, ...)
-        # _chain returns (B, prod(q_{k+1..}), r_T=1) with r_{k+1} folded into dim 1.
-        # Re-split: (B, r_{k+1}, prod q tail)
-        g = g.reshape(B, fr[k + 1], -1)
-        rights[k] = g
+        c = jnp.take(cores[k + 1], digits[k + 1], axis=0)  # (B, r, q, r')
+        g = jnp.einsum("brqs,bsR->brqR", c, rights[k + 1],
+                       preferred_element_type=jnp.float32)
+        rights[k] = g.reshape(B, c.shape[1], -1)
     return lefts, rights
 
 

@@ -86,24 +86,27 @@ def ring_spmm(mesh: Mesh, h: jax.Array, src_b: jax.Array, dst_b: jax.Array,
         # sharded axis, size 1) — squeeze to (S, E) buckets by src block id
         my_src, my_dst, my_w = my_src[0], my_dst[0], my_w[0]
         me = jax.lax.axis_index(axis)
-        block = h_blk.shape[0]
-        acc = jnp.zeros_like(h_blk)
 
-        def step(carry, i):
-            acc, rot = carry
-            # rot currently holds block (me + i) % S
-            blk_id = (me + i) % S
+        def accum(acc, rot, blk_id):
             s = jnp.take(my_src, blk_id, axis=0)
             d = jnp.take(my_dst, blk_id, axis=0)
             w = jnp.take(my_w, blk_id, axis=0)
-            msgs = jnp.take(rot, s, axis=0) * w[:, None]
-            acc = acc.at[d].add(msgs)
-            # rotate: receive the next block from the right neighbor
+            return acc.at[d].add(jnp.take(rot, s, axis=0) * w[:, None])
+
+        # local block first, then S-1 rotate-and-accumulate steps — a final
+        # S-th rotation would move every device's full (block, D) tensor one
+        # hop only to discard it (and again in the transposed backward)
+        acc = accum(jnp.zeros_like(h_blk), h_blk, me)
+
+        def step(carry, i):
+            acc, rot = carry
+            # rotate: receive block (me + i) % S from the right neighbor
             rot = jax.lax.ppermute(
                 rot, axis, [(j, (j - 1) % S) for j in range(S)])
+            acc = accum(acc, rot, (me + i) % S)
             return (acc, rot), None
 
-        (acc, _), _ = jax.lax.scan(step, (acc, h_blk), jnp.arange(S))
+        (acc, _), _ = jax.lax.scan(step, (acc, h_blk), jnp.arange(1, S))
         return acc
 
     shard_map = jax.shard_map

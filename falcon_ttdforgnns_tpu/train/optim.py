@@ -180,8 +180,10 @@ def make_optimizer(
         cache_tx = optax.sgd(cache_lr)
     elif cache_optimizer == "adam":
         cache_tx = adam(cache_lr)
-    else:
+    elif cache_optimizer == "rowwise_adagrad":
         cache_tx = rowwise_adagrad(cache_lr)
+    else:
+        raise ValueError(f"unknown cache_optimizer {cache_optimizer!r}")
 
     tx = optax.multi_transform(
         {"model": adam(lr), "tt": tt_tx, "cache": cache_tx},
@@ -195,6 +197,30 @@ def make_optimizer(
         chain.append(reduce_on_plateau(
             patience=plateau_patience, factor=plateau_factor))
     return optax.chain(*chain)
+
+
+def reset_cache_opt_state(tx, opt_state, params):
+    """Fresh optimizer state for the 'cache' param group only.
+
+    ``populate`` re-sorts the id table, so slot→node assignments change:
+    per-slot accumulators/momenta from the previous population would scale
+    the *wrong* rows' updates (the reference zeroes
+    ``cache_optimizer_state`` inside ``cache_populate_cuda`` for the same
+    reason).  Model/TT states are preserved."""
+    fresh = tx.init(params)
+
+    def graft(old, new):
+        if hasattr(old, "inner_states"):  # multi_transform partition state
+            inner = dict(old.inner_states)
+            inner["cache"] = new.inner_states["cache"]
+            return type(old)(inner)
+        if isinstance(old, tuple):
+            grafted = [graft(o, n) for o, n in zip(old, new)]
+            return (type(old)(*grafted) if hasattr(old, "_fields")
+                    else tuple(grafted))
+        return old
+
+    return graft(opt_state, fresh)
 
 
 def cache_populate_apply(model, variables: dict, freq=None) -> dict:

@@ -722,6 +722,11 @@ class SageTrainer:
             freq = getattr(self.loader, "freq", None)
             self.variables = cache_populate_apply(self.model, self.variables,
                                                   freq=freq)
+            # slot->id assignments changed; stale per-slot accumulators
+            # would scale the wrong rows' updates
+            from .optim import reset_cache_opt_state
+            self.opt_state = reset_cache_opt_state(
+                self.tx, self.opt_state, self.variables["params"])
 
     # ------------------------------------------------------------------
     def infer_full(self) -> np.ndarray:

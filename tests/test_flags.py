@@ -308,3 +308,17 @@ class TestEpochEdgeCases:
         ds = small_ds()
         with pytest.raises(ValueError, match="node-shard"):
             SageTrainer(ds, small_cfg(use_sample=False, dist=True))
+
+
+class TestGroupedKernelRouting:
+    def test_grouped_wins_over_pallas_auto(self, monkeypatch):
+        """--emb-name eff (grouped dedup) only exists on the XLA path; under
+        kernel='auto' on TPU it must suppress the Pallas default or the
+        flag is silently ignored."""
+        from falcon_ttdforgnns_tpu.nn.tt_embedding import TTEmbeddingBag
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        mk = lambda **kw: TTEmbeddingBag(num_embeddings=1000, embedding_dim=16,
+                                         tt_ranks=(4, 4), **kw)
+        assert mk()._use_pallas()
+        assert not mk(grouped=True)._use_pallas()
+        assert mk(grouped=True, kernel="pallas")._use_pallas()  # explicit wins

@@ -211,3 +211,18 @@ class TestOgbRawLoader:
         half = ds.labels[: ds.num_nodes // 2]
         counts = np.bincount(half, minlength=40) / half.size
         assert counts.max() < 0.10  # no id-block dominates a class
+
+
+class TestTinySeedSets:
+    def test_loader_batch_larger_than_seed_set(self):
+        """Batches must stay exactly batch_size (the jitted step's shape
+        contract) even when the whole seed set is smaller than one batch."""
+        from falcon_ttdforgnns_tpu.graph import synthetic_dataset
+        from falcon_ttdforgnns_tpu.graph.sampler import NeighborLoader
+        ds = synthetic_dataset(num_nodes=300, avg_degree=4, seed=3)
+        seeds = ds.train_idx[:5]
+        loader = NeighborLoader(ds.graph, seeds, ds.labels, (3, 3), 64)
+        batches = list(loader)
+        assert len(batches) == 1
+        assert batches[0].seeds.shape == (64,)
+        assert set(batches[0].seeds.tolist()) <= set(ds.train_idx[:5].tolist())

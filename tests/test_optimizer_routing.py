@@ -111,3 +111,47 @@ def test_plateau_reduces_lr():
         scales.append(float(np.asarray(up["w"])[0]))
     assert scales[-1] > scales[0]  # updates are negative; shrunk magnitude
     assert abs(scales[-1]) < abs(scales[0])
+
+
+def test_unknown_optimizer_names_raise():
+    import pytest
+    with pytest.raises(ValueError, match="tt_optimizer"):
+        make_optimizer(tt_optimizer="adamw")
+    with pytest.raises(ValueError, match="cache_optimizer"):
+        make_optimizer(cache_optimizer="rowwise-adagrad")  # typo'd name
+
+
+def test_reset_cache_opt_state_only_resets_cache():
+    """populate() re-sorts the slot->id table, so per-slot cache
+    accumulators must reset while model/TT momenta survive."""
+    from falcon_ttdforgnns_tpu.train.optim import reset_cache_opt_state
+    params = fake_params()
+    tx = make_optimizer(tt_optimizer="adam", cache_optimizer="rowwise_adagrad",
+                        plateau=False)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    _, state = tx.update(grads, state, params)
+
+    def find_partition(s):
+        if hasattr(s, "inner_states"):
+            return s
+        if isinstance(s, tuple):
+            for x in s:
+                r = find_partition(x)
+                if r is not None:
+                    return r
+        return None
+
+    st = find_partition(state)
+    cache_acc = jax.tree.leaves(st.inner_states["cache"])
+    assert any(float(jnp.sum(l)) != 0 for l in cache_acc if hasattr(l, "sum"))
+
+    state2 = reset_cache_opt_state(tx, state, params)
+    st2 = find_partition(state2)
+    for l in jax.tree.leaves(st2.inner_states["cache"]):
+        if hasattr(l, "sum"):
+            np.testing.assert_array_equal(np.asarray(l), 0)
+    # model adam moments preserved bit-for-bit
+    for a, b in zip(jax.tree.leaves(st.inner_states["model"]),
+                    jax.tree.leaves(st2.inner_states["model"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
