@@ -43,7 +43,8 @@ def main(argv=None):
     if args.emb_name == "dense":
         args.use_tt = False
 
-    from .graph import get_dataset, reorder_permutation
+    from .graph import get_dataset
+    from .graph.reorder import reorder_permutation_cached
     from .train import (SageTrainer, TrainConfig, FullGraphTrainer,
                         FullGraphConfig)
     from .train.checkpoint import save_checkpoint
@@ -58,9 +59,11 @@ def main(argv=None):
     # partition semantics mirror `graphloader.py:399-454` exactly — the
     # default 0 RANDOM-PERMUTES node ids (the reference's baseline), >0 is
     # METIS-k, -1 multilevel, -2 RCMK, -3 degree, -4 louvain.
+    # disk-cached: partitioning papers100M-scale graphs is a multi-hour
+    # job; the permutation is keyed on graph shape + flags
     t0 = time.time()
-    perm = reorder_permutation(ds.graph, args.partition,
-                               levels=args.p_shapes, seed=args.seed)
+    perm = reorder_permutation_cached(ds.graph, args.partition,
+                                      levels=args.p_shapes, seed=args.seed)
     if perm is not None:
         ds = ds.permute(perm)
         logger.info(f"reorder partition={args.partition}: {time.time() - t0:.1f}s")
@@ -111,6 +114,9 @@ def main(argv=None):
                 tt_ranks=tuple(tt_ranks),
                 p_shapes=tuple(args.p_shapes) if args.p_shapes else None,
                 q_shapes=tuple(args.q_shapes) if args.q_shapes else None,
+                weight_dist=args.init if args.init in (
+                    "normal", "uniform", "naive-uniform", "approx-normal",
+                    "approx-uniform") else "approx-normal",
                 eval_every=args.eval_every, seed=args.seed)
             trainer = FullGraphTrainer(ds, cfg, logger=logger,
                                        precomputed_cores=precomputed)
@@ -198,8 +204,9 @@ def main(argv=None):
         return
 
     best = None
+    base_seed = args.seed
     for run in range(args.n_runs):
-        args.seed = args.seed + run
+        args.seed = base_seed + run
         result = run_once(args.tt_rank)
         if isinstance(result, dict) and "best" in result:
             if best is None or result["best"]["test_acc"] > best["test_acc"]:

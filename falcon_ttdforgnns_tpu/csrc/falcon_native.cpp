@@ -117,6 +117,14 @@ void build_csr(const int64_t* src, const int64_t* dst, int64_t num_edges,
       }
     }
   });
+  // The atomic cursors scatter in thread-interleaving order — sort each
+  // row so the CSR is deterministic run-to-run (seeded sampling reads
+  // indices[lo + r]; a nondeterministic row order would break fixed-seed
+  // reproducibility even with identical r draws).
+  parallel_for(num_nodes, [&](int64_t b, int64_t e) {
+    for (int64_t v = b; v < e; ++v)
+      std::sort(out_indices + out_indptr[v], out_indices + out_indptr[v + 1]);
+  });
   (void)total;
 }
 
@@ -129,8 +137,11 @@ void sample_neighbors(const int64_t* indptr, const int32_t* indices,
                       const int64_t* nodes, int64_t num_nodes_in,
                       int32_t fanout, uint64_t seed, int32_t* out) {
   parallel_for(num_nodes_in, [&](int64_t b, int64_t e) {
-    XorShift128 rng(seed * 0x9E3779B97f4A7C15ull + static_cast<uint64_t>(b) + 1);
     for (int64_t i = b; i < e; ++i) {
+      // counter-seeded PER POSITION, not per chunk: chunk bounds depend on
+      // hardware_concurrency, so a per-chunk stream would give different
+      // draws for the same seed on hosts with different core counts
+      XorShift128 rng(seed * 0x9E3779B97f4A7C15ull + static_cast<uint64_t>(i) + 1);
       const int64_t u = nodes[i];
       const int64_t lo = indptr[u], hi = indptr[u + 1];
       const int64_t deg = hi - lo;

@@ -61,13 +61,19 @@ class CSRGraph:
                 pass
         if add_reverse:
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
-        order = np.argsort(dst, kind="stable")
-        src, dst = src[order], dst[order]
         if dedup:
+            # sort by the combined (dst, src) key — dst alone leaves src
+            # unsorted within a row, so non-adjacent duplicate pairs would
+            # survive the adjacent-difference dedup below
             key = dst.astype(np.int64) * num_nodes + src.astype(np.int64)
+            order = np.argsort(key, kind="stable")
+            src, dst, key = src[order], dst[order], key[order]
             keep = np.ones(len(key), dtype=bool)
             keep[1:] = key[1:] != key[:-1]
             src, dst = src[keep], dst[keep]
+        else:
+            order = np.argsort(dst, kind="stable")
+            src, dst = src[order], dst[order]
         indptr = np.zeros(num_nodes + 1, dtype=np.int64)
         np.add.at(indptr, dst + 1, 1)
         np.cumsum(indptr, out=indptr)

@@ -216,6 +216,9 @@ def recursive_partition_reorder(graph: CSRGraph, levels: Sequence[int],
         new_segments = []
         for seg in segments:
             if len(seg) <= 1:
+                # still scale (part 0): composite keys must stay comparable
+                # across segments or the singleton lands in the wrong block
+                key[seg] = key[seg] * k
                 new_segments.append(seg)
                 continue
             sub = _induced_subgraph(graph, seg, src, dst)

@@ -83,6 +83,12 @@ class FullGraphModel(nn.Module):
             feat = jnp.concatenate([feat, label_onehot], axis=-1)
         return self.gnn(feat, src, dst, in_deg, train=train)
 
+    def materialize_features(self, ids: jax.Array) -> jax.Array:
+        """Embedding rows for arbitrary ids — same contract as
+        ``SAGE.materialize_features`` (used by --store-emb,
+        `gcn_gat_partition.py:341-344`)."""
+        return self.embed_layer(ids, None, False)
+
 
 @dataclass
 class FullGraphConfig:
@@ -131,11 +137,13 @@ class FullGraphTrainer:
         self.labels = jnp.asarray(dataset.labels.astype(np.int32))
         self.train_idx = jnp.asarray(dataset.train_idx)
 
-        # linear warmup to lr over warmup_epochs, then constant
-        # (`adjust_learning_rate`, gcn_gat_partition.py:79-82)
+        # linear warmup to lr over warmup_epochs, then constant — the
+        # reference's lr*epoch/50 counts epochs FROM 1 (`adjust_learning_rate`,
+        # gcn_gat_partition.py:79-82), so epoch 0 trains at lr/W, not 0
+        W = max(cfg.warmup_epochs, 1)
         sched = optax.join_schedules(
-            [optax.linear_schedule(0.0, cfg.lr, cfg.warmup_epochs),
-             optax.constant_schedule(cfg.lr)], [cfg.warmup_epochs])
+            [optax.linear_schedule(cfg.lr / W, cfg.lr, max(W - 1, 1)),
+             optax.constant_schedule(cfg.lr)], [max(W - 1, 1)])
         self.tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
 
         rng = jax.random.PRNGKey(cfg.seed)
@@ -154,9 +162,14 @@ class FullGraphTrainer:
 
         @jax.jit
         def step(variables, opt_state, src, dst, in_deg, labels,
-                 pred_idx_mask, label_onehot, rng):
+                 pred_idx_mask, label_mask, rng):
             params = variables["params"]
             aux = {k: v for k, v in variables.items() if k != "params"}
+            # the (N, C) onehot is built ON DEVICE from the (N,) mask — the
+            # host version was a ~460 MB H2D transfer per epoch at products
+            # scale, for data derivable from a few MB
+            label_onehot = (jax.nn.one_hot(labels, n_classes, dtype=jnp.float32)
+                            * label_mask[:, None]) if cfg.use_labels else None
 
             def loss_fn(p):
                 out, mutated = model.apply(
@@ -179,22 +192,26 @@ class FullGraphTrainer:
         return step
 
     def _build_eval(self):
-        model = self.model
+        model, cfg = self.model, self.cfg
+        n_classes = self.ds.num_classes
 
         @jax.jit
-        def ev(variables, src, dst, in_deg, label_onehot):
-            return model.apply(variables, src, dst, in_deg, label_onehot,
+        def ev(variables, src, dst, in_deg, labels, label_mask):
+            onehot = (jax.nn.one_hot(labels, n_classes, dtype=jnp.float32)
+                      * label_mask[:, None]) if cfg.use_labels else None
+            return model.apply(variables, src, dst, in_deg, onehot,
                                train=False)
 
         return ev
 
-    def _label_onehot(self, label_idx: np.ndarray) -> Optional[jax.Array]:
+    def _label_mask(self, label_idx: np.ndarray) -> jax.Array:
+        """(N,) float mask of nodes whose label feeds the label trick; the
+        (N, C) onehot itself is built on device (see _build_step)."""
         if not self.cfg.use_labels:
-            return None
-        onehot = np.zeros((self.ds.num_nodes, self.ds.num_classes), np.float32)
-        lab = np.asarray(self.labels)
-        onehot[label_idx, lab[label_idx]] = 1.0
-        return jnp.asarray(onehot)
+            return jnp.zeros((1,), jnp.float32)  # placeholder (unused)
+        mask = np.zeros(self.ds.num_nodes, np.float32)
+        mask[label_idx] = 1.0
+        return jnp.asarray(mask)
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
@@ -210,22 +227,21 @@ class FullGraphTrainer:
 
         t0 = time.perf_counter()
         key = jax.random.PRNGKey(cfg.seed * 131 + epoch)
-        onehot = self._label_onehot(label_idx)
-        if onehot is None:
-            onehot = jnp.zeros((1,), jnp.float32)  # placeholder (unused)
         self.variables, self.opt_state, loss, logits = self._step(
             self.variables, self.opt_state, self.src, self.dst, self.in_deg,
-            self.labels, jnp.asarray(pred_mask), onehot, key)
+            self.labels, jnp.asarray(pred_mask), self._label_mask(label_idx),
+            key)
         loss = float(loss)
         dt = time.perf_counter() - t0
         return {"loss": loss, "epoch_time": dt,
                 "edges_per_s": self.ds.graph.num_edges / dt}
 
     def evaluate(self) -> Dict[str, float]:
-        onehot = self._label_onehot(np.asarray(self.train_idx)) \
-            if self.cfg.use_labels else jnp.zeros((1,), jnp.float32)
+        if not hasattr(self, "_eval_label_mask"):
+            self._eval_label_mask = self._label_mask(np.asarray(self.train_idx))
         logits = np.asarray(self._eval(self.variables, self.src, self.dst,
-                                       self.in_deg, onehot))
+                                       self.in_deg, self.labels,
+                                       self._eval_label_mask))
         pred = logits.argmax(-1)
         lab = np.asarray(self.labels)
         return {f"{s}_acc": float((pred[i] == lab[i]).mean())

@@ -47,3 +47,35 @@ def test_log_eps_ce_positive():
     # perfect prediction -> loss near 0
     perfect = jnp.eye(5)[labels] * 50.0
     assert float(log_eps_cross_entropy(perfect, labels)) < 1e-3
+
+
+def test_materialize_features_exists(tiny_ds):
+    """--store-emb uses model.materialize_features on EVERY model type;
+    gcn/gat crashed with AttributeError before round 2's fix."""
+    import jax
+    import jax.numpy as jnp
+    cfg = FullGraphConfig(model="gcn", epochs=1, hidden_dim=16,
+                          num_layers=2, tt_ranks=(4, 4), seed=0)
+    tr = FullGraphTrainer(tiny_ds, cfg)
+    mat = jax.jit(lambda v, ids: tr.model.apply(
+        v, ids, method=type(tr.model).materialize_features))
+    rows = mat(tr.variables, jnp.arange(32, dtype=jnp.int32))
+    assert rows.shape == (32, tiny_ds.feat_dim)
+
+
+def test_warmup_first_epoch_trains(tiny_ds):
+    """The reference warmup is lr*epoch/50 counting from 1: epoch 0 must
+    apply a NONZERO update (the old schedule started at exactly 0)."""
+    import jax
+    import numpy as np
+    cfg = FullGraphConfig(model="gcn", epochs=1, lr=0.01, hidden_dim=16,
+                          num_layers=2, tt_ranks=(4, 4), warmup_epochs=50,
+                          seed=0)
+    tr = FullGraphTrainer(tiny_ds, cfg)
+    before = jax.tree.leaves(tr.variables["params"])
+    tr.train_epoch(0)
+    after = jax.tree.leaves(tr.variables["params"])
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(before, after))
+    assert changed, "epoch 0 applied a zero update (warmup off-by-one)"

@@ -70,3 +70,29 @@ class TestNativePartition:
         rnd = np.random.default_rng(0).integers(0, 8, graph.num_nodes)
         cut_rnd = (rnd[src] != rnd[dst]).mean()
         assert cut < cut_rnd
+
+
+def test_build_csr_deterministic_row_order():
+    """The threaded builder's atomic scatter must not leak thread
+    interleaving into the CSR: rows come out sorted, so two builds are
+    bit-identical and seeded sampling is reproducible."""
+    rng = np.random.default_rng(0)
+    E = 300_000  # above the native-path threshold used by from_edges
+    src = rng.integers(0, 5000, E).astype(np.int64)
+    dst = rng.integers(0, 5000, E).astype(np.int64)
+    p1, i1 = _native.build_csr(src, dst, 5000, True)
+    p2, i2 = _native.build_csr(src, dst, 5000, True)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(i1, i2)
+    for v in range(0, 5000, 617):
+        row = i1[p1[v]:p1[v + 1]]
+        assert (np.diff(row) >= 0).all()
+
+
+def test_dedup_handles_unsorted_duplicates():
+    import numpy as np
+    from falcon_ttdforgnns_tpu.graph.csr import CSRGraph
+    g = CSRGraph.from_edges(np.array([1, 2, 1]), np.array([5, 5, 5]), 8,
+                            add_reverse=False, dedup=True)
+    assert g.num_edges == 2
+    assert sorted(g.indices[g.indptr[5]:g.indptr[6]].tolist()) == [1, 2]
