@@ -39,41 +39,46 @@ class BondEncoder(nn.Module):
 
 
 class GINConv(nn.Module):
-    """GIN with edge features: h' = MLP((1+eps) h + Σ relu(h_u + e_uv))
-    (`gnn_model.py:619-650`)."""
+    """GIN with edge features: h' = MLP((1+eps) h + Σ relu(h_u + e_uv)),
+    MLP = Dense(d) -> BatchNorm -> relu -> Dense(d) (`gnn_model.py:619-650`)."""
 
     emb_dim: int
     bond_dims: Tuple[int, ...] = (5, 6, 2)
 
     @nn.compact
-    def __call__(self, h, src, dst, edge_attr, num_nodes):
+    def __call__(self, h, src, dst, edge_attr, num_nodes, train=False):
         e = BondEncoder(self.emb_dim, self.bond_dims)(edge_attr)
         msgs = nn.relu(jnp.take(h, src, axis=0) + e)
         agg = jax.ops.segment_sum(msgs, dst, num_segments=num_nodes)
         eps = self.param("eps", nn.initializers.zeros, ())
         x = (1 + eps) * h + agg
-        x = nn.Dense(2 * self.emb_dim)(x)
+        x = nn.Dense(self.emb_dim)(x)
+        x = nn.BatchNorm(use_running_average=not train, name="mlp_bn")(x)
         x = nn.relu(x)
         return nn.Dense(self.emb_dim)(x)
 
 
 class MolGCNConv(nn.Module):
-    """Degree-normalized conv with edge features (`gnn_model.py:653-689`)."""
+    """Degree-normalized conv with edge features (`gnn_model.py:653-689`):
+    msgs = norm_u·norm_v · relu(h_u + e_uv); self term
+    relu(h + root_emb)/deg with a trainable root embedding."""
 
     emb_dim: int
     bond_dims: Tuple[int, ...] = (5, 6, 2)
 
     @nn.compact
-    def __call__(self, h, src, dst, edge_attr, num_nodes):
+    def __call__(self, h, src, dst, edge_attr, num_nodes, train=False):
         e = BondEncoder(self.emb_dim, self.bond_dims)(edge_attr)
         h = nn.Dense(self.emb_dim)(h)
         deg = jax.ops.segment_sum(jnp.ones_like(dst, jnp.float32), dst,
                                   num_segments=num_nodes) + 1.0
         norm = jax.lax.rsqrt(deg)
-        msgs = nn.relu(jnp.take(h * norm[:, None], src, axis=0) + e) * \
-            jnp.take(norm, dst)[:, None]
+        norm_uv = jnp.take(norm, src) * jnp.take(norm, dst)   # (E,)
+        msgs = norm_uv[:, None] * nn.relu(jnp.take(h, src, axis=0) + e)
         agg = jax.ops.segment_sum(msgs, dst, num_segments=num_nodes)
-        return agg + nn.relu(h + 0.0) * (1.0 / deg)[:, None]
+        root = self.param("root_emb", nn.initializers.normal(1.0),
+                          (self.emb_dim,))
+        return agg + nn.relu(h + root[None, :]) * (1.0 / deg)[:, None]
 
 
 def graph_pool(h: jax.Array, graph_id: jax.Array, num_graphs: int,
@@ -87,16 +92,21 @@ def graph_pool(h: jax.Array, graph_id: jax.Array, num_graphs: int,
                                 num_segments=num_graphs)
         return s / jnp.maximum(c, 1.0)
     if method == "max":
-        return jax.ops.segment_max(h, graph_id, num_segments=num_graphs)
+        m = jax.ops.segment_max(h, graph_id, num_segments=num_graphs)
+        # empty (padding) segments fill with -inf; 0*-inf downstream = NaN
+        return jnp.where(jnp.isfinite(m), m, 0.0)
     raise ValueError(f"unknown pooling {method!r}")
 
 
 class AttentionPool(nn.Module):
-    """Gated attention pooling (`gnn_model.py:756-760`)."""
+    """Gated attention pooling; the gate is the reference's two-layer MLP
+    Dense(2d) -> BatchNorm -> relu -> Dense(1) (`gnn_model.py:956-962`)."""
 
     @nn.compact
-    def __call__(self, h, graph_id, num_graphs):
-        gate = nn.Dense(1)(h)  # (N, 1)
+    def __call__(self, h, graph_id, num_graphs, train=False):
+        g = nn.Dense(2 * h.shape[-1])(h)
+        g = nn.BatchNorm(use_running_average=not train, name="gate_bn")(g)
+        gate = nn.Dense(1)(nn.relu(g))  # (N, 1)
         gmax = jax.ops.segment_max(gate, graph_id, num_segments=num_graphs)
         gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
         ex = jnp.exp(gate - jnp.take(gmax, graph_id, axis=0))
@@ -173,20 +183,29 @@ class GNNNode(nn.Module):
             conv_cls = GINConv if self.conv_type == "gin" else MolGCNConv
             h_out = conv_cls(self.emb_dim, self.bond_dims,
                              name=f"conv_{layer}")(h_in, src, dst, edge_attr,
-                                                   num_nodes)
+                                                   num_nodes, train)
             h_out = nn.BatchNorm(use_running_average=not train,
                                  name=f"bn_{layer}")(h_out)
             if layer < self.num_layers - 1:
                 h_out = nn.relu(h_out)
             h_out = nn.Dropout(self.dropout)(h_out, deterministic=not train)
             if self.residual:
-                h_out = h_out + hs[-1]
+                # the reference residual adds the vn-AUGMENTED layer input
+                # (h_list[layer] is mutated in place before the conv)
+                h_out = h_out + h_in
             hs.append(h_out)
             if self.virtual_node and layer < self.num_layers - 1:
-                pooled = graph_pool(hs[-1], graph_id, num_graphs, "sum")
+                # vn update pools the layer INPUT (with the vn broadcast),
+                # not the conv output (`gnn_model.py:861-870`); the vn MLP
+                # is Dense->BN->relu twice
+                pooled = graph_pool(h_in, graph_id, num_graphs, "sum")
                 vn_new = vn + pooled
-                vn_new = nn.Dense(self.emb_dim, name=f"vn_mlp_{layer}")(vn_new)
-                vn_new = nn.relu(vn_new)
+                for j in range(2):
+                    vn_new = nn.Dense(self.emb_dim,
+                                      name=f"vn_mlp_{layer}_{j}")(vn_new)
+                    vn_new = nn.BatchNorm(use_running_average=not train,
+                                          name=f"vn_bn_{layer}_{j}")(vn_new)
+                    vn_new = nn.relu(vn_new)
                 vn = nn.Dropout(self.dropout)(vn_new, deterministic=not train)
         return hs[-1]
 
@@ -209,7 +228,7 @@ class MolGNN(nn.Module):
                     self.virtual_node, self.dropout, name="gnn_node")(
             x, src, dst, edge_attr, graph_id, num_nodes, num_graphs, train)
         if self.pooling == "attention":
-            hg = AttentionPool(name="pool")(h, graph_id, num_graphs)
+            hg = AttentionPool(name="pool")(h, graph_id, num_graphs, train)
         elif self.pooling == "set2set":
             hg = Set2Set(self.emb_dim, name="pool")(h, graph_id, num_graphs)
         else:

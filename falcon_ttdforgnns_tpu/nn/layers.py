@@ -97,13 +97,18 @@ class GATConv(nn.Module):
         H, Do = self.num_heads, self.out_dim
         feat = nn.Dense(H * Do, use_bias=False, name="fc")(h).reshape(-1, H, Do)
 
+        # "both" norm scales only the SOURCE features (deg^-0.5); er comes
+        # from the unscaled dst features — leaky_relu runs before the
+        # per-dst softmax, so a dst-side rescaling would NOT cancel and
+        # would silently change the attention (`gnn_model.py:396-401,413`)
+        feat_src = feat
         if self.use_symmetric_norm:
             norm = jnp.power(jnp.maximum(in_deg.astype(h.dtype), 1.0), -0.5)
-            feat = feat * norm[:, None, None]
+            feat_src = feat * norm[:, None, None]
 
         attn_l = self.param("attn_l", nn.initializers.glorot_uniform(), (1, H, Do))
         attn_r = self.param("attn_r", nn.initializers.glorot_uniform(), (1, H, Do))
-        el = jnp.sum(feat * attn_l, axis=-1)  # (N, H)
+        el = jnp.sum(feat_src * attn_l, axis=-1)  # (N, H)
         er = jnp.sum(feat * attn_r, axis=-1)
 
         e = jnp.take(el, src, axis=0) + jnp.take(er, dst, axis=0)  # (E, H)
@@ -125,7 +130,7 @@ class GATConv(nn.Module):
         if chunk is None:
             budget = (512 << 20) // (4 * H * Do)  # ~512 MB f32 slab
             chunk = max(1 << 14, min(1 << 22, budget))
-        out = headed_spmm(feat, alpha, src, dst, num_nodes, chunk)  # (N, H, Do)
+        out = headed_spmm(feat_src, alpha, src, dst, num_nodes, chunk)  # (N, H, Do)
 
         if self.use_symmetric_norm:
             inv = jnp.power(jnp.maximum(in_deg.astype(h.dtype), 1.0), 0.5)

@@ -36,21 +36,39 @@ def prime_factors(n: int) -> List[int]:
 
 def _multiset_partitions_k(items: List[int], k: int):
     """Yield all partitions of multiset ``items`` into exactly ``k``
-    (possibly empty-product) groups, as tuples of group products."""
+    (possibly empty-product) groups, as tuples of group products.
+
+    Enumerates per-distinct-item count compositions — Π_p C(c_p+k-1, k-1)
+    combinations — instead of the naive k^n group assignments, which hangs
+    for highly-composite sizes (2^20 nodes → 3^20 assignments)."""
     if k == 1:
         yield (int(np.prod(items)) if items else 1,)
         return
-    n = len(items)
+    from collections import Counter
+    counts = sorted(Counter(items).items())
+
+    def compositions(c: int, parts: int):
+        if parts == 1:
+            yield (c,)
+            return
+        for first in range(c + 1):
+            for rest in compositions(c - first, parts - 1):
+                yield (first,) + rest
+
     seen = set()
-    # Assign each item a group id in [0, k); dedupe by resulting products.
-    for assignment in itertools.product(range(k), repeat=n):
-        prods = [1] * k
-        for item, g in zip(items, assignment):
-            prods[g] *= item
-        key = tuple(prods)
-        if key not in seen:
-            seen.add(key)
-            yield key
+
+    def rec(i: int, prods: List[int]):
+        if i == len(counts):
+            key = tuple(prods)
+            if key not in seen:
+                seen.add(key)
+                yield key
+            return
+        p, c = counts[i]
+        for comp in compositions(c, k):
+            yield from rec(i + 1, [pr * p ** ci for pr, ci in zip(prods, comp)])
+
+    yield from rec(0, [1] * k)
 
 
 def factor_combinations(n: int, d: int) -> List[Tuple[int, ...]]:

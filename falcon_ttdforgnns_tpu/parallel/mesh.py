@@ -48,11 +48,19 @@ def init_multihost(coordinator: Optional[str] = None,
     kwargs = {}
     coordinator = coordinator or os.environ.get("COORDINATOR_ADDRESS")
     if coordinator:
+        np_ = num_processes or os.environ.get("NUM_PROCESSES")
+        pid = process_id if process_id is not None \
+            else os.environ.get("PROCESS_ID")
+        if np_ is None or pid is None:
+            # defaulting these would make every host "succeed" as an
+            # independent 1-process job — fail fast instead
+            raise ValueError(
+                "COORDINATOR_ADDRESS is set but NUM_PROCESSES/PROCESS_ID "
+                "are not: a manual cluster must specify both (on Cloud TPU "
+                "pods leave all three unset for auto-discovery)")
         kwargs["coordinator_address"] = coordinator
-        kwargs["num_processes"] = int(
-            num_processes or os.environ.get("NUM_PROCESSES", "1"))
-        kwargs["process_id"] = int(
-            process_id or os.environ.get("PROCESS_ID", "0"))
+        kwargs["num_processes"] = int(np_)
+        kwargs["process_id"] = int(pid)
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError) as e:  # already initialized / 1-proc

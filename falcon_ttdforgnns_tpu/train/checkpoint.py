@@ -66,7 +66,9 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
         return None
     cands = []
     for name in os.listdir(ckpt_dir):
-        if name.startswith("step_"):
+        # skip in-flight '.tmp' leftovers from a crashed save — the atomic
+        # os.replace never ran, so their contents are untrusted
+        if name.startswith("step_") and not name.endswith(".tmp"):
             try:
                 step = int(name.split("_")[1].split(".")[0])
                 cands.append((step, os.path.join(ckpt_dir, name)))

@@ -145,7 +145,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
 # Dataset presets (run_script.sh:135-150, 408-453 shape/rank configs)
 DATASET_PRESETS = {
     "ogbn-arxiv": dict(p_shapes=[50, 60, 60], q_shapes=[8, 4, 4]),
-    "ogbn-products": dict(p_shapes=[125, 140, 140], q_shapes=[4, 5, 5]),
+    # q-shapes 5,5,4 = the reference default (`tt_utils.py:57`): cores pair
+    # as (125,5),(140,5),(140,4)
+    "ogbn-products": dict(p_shapes=[125, 140, 140], q_shapes=[5, 5, 4]),
     "ogbn-papers100M": dict(p_shapes=[400, 500, 600], q_shapes=[4, 4, 8]),
 }
 

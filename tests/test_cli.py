@@ -34,7 +34,7 @@ def test_int_lists():
 def test_presets():
     a = apply_preset(parse_args(["--dataset", "ogbn-products"]))
     assert a.p_shapes == [125, 140, 140]
-    assert a.q_shapes == [4, 5, 5]
+    assert a.q_shapes == [5, 5, 4]  # the reference default (tt_utils.py:57)
     a = apply_preset(parse_args(["--dataset", "ogbn-papers100M"]))
     assert a.p_shapes == [400, 500, 600]
     # explicit shapes win over presets

@@ -179,3 +179,14 @@ class TestInit:
         cores2 = tt_init.tt_svd(shapes2, mat)
         full = np.asarray(tt_to_full(shapes2, tuple(jnp.asarray(c) for c in cores2)))
         np.testing.assert_allclose(full, mat, rtol=1e-3, atol=1e-3)
+
+
+def test_suggested_shapes_highly_composite_fast():
+    """2^20 nodes must factorize in milliseconds, not 3^20 assignments."""
+    import time
+    from falcon_ttdforgnns_tpu.ops.tt_shapes import suggested_tt_shapes
+    t0 = time.perf_counter()
+    shapes = suggested_tt_shapes(1 << 20, 3)
+    assert time.perf_counter() - t0 < 5.0
+    assert int(np.prod(shapes)) >= 1 << 20
+    assert sorted(shapes, reverse=True) == shapes and min(shapes) > 1
