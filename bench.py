@@ -78,6 +78,8 @@ def main():
         except Exception as e:  # keep the bench alive if one path breaks
             print(f"{name} failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    if not results:
+        sys.exit("bench: every lookup path failed (see stderr above)")
     best = min(results.values())
     print(json.dumps({
         "metric": "tt_embedding_lookup_per_1024_rows_products_ms",

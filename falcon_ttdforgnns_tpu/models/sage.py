@@ -32,11 +32,14 @@ def make_embed_layer(num_nodes: int, feat_dim: int, use_tt: bool = True,
                      precomputed_cores=None,
                      fixed_features=None,
                      batch_count: int = 131072,
-                     grouped: bool = False) -> nn.Module:
+                     grouped: bool = False,
+                     device_freq: bool = False) -> nn.Module:
     """Embedding layer selection, parity with `gnn_model.py:107-190`
     (+ the DDP driver's real-feature path, `sage_dgl_partition.py:174`).
     ``batch_count`` is the lookup chunk / VMEM-budget knob (cu:1027 analog);
-    ``grouped`` opts into the Efficient_TT prefix-dedup lookup."""
+    ``grouped`` opts into the Efficient_TT prefix-dedup lookup;
+    ``device_freq`` enables in-step LFU counting on device (the only
+    frequency source when sampling runs inside jit, --mode puregpu)."""
     if fixed_features is not None:
         return FixedFeatureEmbedding(fixed_features, name="embed")
     if use_tt:
@@ -47,7 +50,8 @@ def make_embed_layer(num_nodes: int, feat_dim: int, use_tt: bool = True,
             q_shapes=tuple(q_shapes) if q_shapes else None,
             weight_dist=weight_dist, cache_size=cache_size,
             precomputed_cores=precomputed_cores,
-            batch_count=batch_count, grouped=grouped, name="embed")
+            batch_count=batch_count, grouped=grouped,
+            device_freq=device_freq, name="embed")
     if access_counts:
         return AccessCountingEmbedding(num_nodes, feat_dim, name="embed")
     return DenseEmbedding(num_nodes, feat_dim, name="embed")
@@ -85,13 +89,15 @@ class SAGE(nn.Module):
     precomputed_cores: Optional[tuple] = None
     batch_count: int = 131072   # TT lookup chunk size (--batch-count)
     grouped: bool = False       # Efficient_TT prefix-dedup lookup (--emb-name eff)
+    device_freq: bool = False   # in-step LFU counting (puregpu + cache)
 
     def setup(self):
         self.embed_layer = make_embed_layer(
             self.num_nodes, self.in_dim, self.use_tt, self.tt_ranks,
             self.p_shapes, self.q_shapes, self.weight_dist, self.cache_size,
             self.access_counts, self.precomputed_cores,
-            batch_count=self.batch_count, grouped=self.grouped)
+            batch_count=self.batch_count, grouped=self.grouped,
+            device_freq=self.device_freq)
         dims = [self.hidden_dim] * (self.num_layers - 1) + [self.num_classes]
         self.convs = [SAGEConv(d, name=f"conv_{i}") for i, d in enumerate(dims)]
         self.dropout_layer = nn.Dropout(self.dropout)

@@ -45,17 +45,28 @@ def partition_edges_by_block(src: np.ndarray, dst: np.ndarray, num_nodes: int,
     sb = (src // block).astype(np.int32)
     db = (dst // block).astype(np.int32)
     order = np.lexsort((sb, db))
-    src_s, dst_s, sb_s, db_s = src[order], dst[order], sb[order], db[order]
+    src_s, dst_s = src[order], dst[order]
 
-    counts = np.zeros((num_shards, num_shards), np.int64)
-    np.add.at(counts, (db_s, sb_s), 1)
+    counts = np.bincount((db[order].astype(np.int64) * num_shards
+                          + sb[order]),
+                         minlength=num_shards * num_shards)
     e_max = int(np.ceil(counts.max() / pad_multiple) * pad_multiple) if counts.max() else pad_multiple
+
+    # all S^2 buckets pad to the hottest bucket: on skewed (power-law)
+    # graphs without a balancing reorder the waste can be several x E —
+    # surface it rather than silently allocate
+    pad_ratio = num_shards * num_shards * e_max / max(len(src), 1)
+    if pad_ratio > 4.0:
+        import warnings
+        warnings.warn(
+            f"ring-SpMM bucket padding is {pad_ratio:.1f}x the edge count "
+            f"(hottest bucket {int(counts.max())} of {len(src)} edges); a "
+            f"balancing reorder (--partition) shrinks the skew")
 
     src_b = np.zeros((num_shards, num_shards, e_max), np.int32)
     dst_b = np.zeros((num_shards, num_shards, e_max), np.int32)
     w_b = np.zeros((num_shards, num_shards, e_max), np.float32)
-    offs = np.cumsum(np.bincount((db_s * num_shards + sb_s),
-                                 minlength=num_shards * num_shards))
+    offs = np.cumsum(counts)
     start = 0
     for d in range(num_shards):
         for s in range(num_shards):

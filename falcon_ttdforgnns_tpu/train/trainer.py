@@ -171,6 +171,9 @@ class SageTrainer:
             precomputed_cores=precomputed_cores,
             batch_count=cfg.batch_count,
             grouped=cfg.grouped,
+            # with in-jit sampling the host loader never runs, so the
+            # device-side LFU counters are the only frequency source
+            device_freq=(cfg.mode == "puregpu" and cfg.cache_size > 0),
         )
         self.tx = make_optimizer(
             lr=cfg.lr, weight_decay=cfg.weight_decay,
@@ -272,43 +275,60 @@ class SageTrainer:
         return shapes.ndim in (2, 3, 4)
 
     def _put_graph_on_device(self) -> None:
-        """CSR arrays -> HBM for puregpu sampling / full-neighbor training
-        (`--mode puregpu` placement semantics, `sage_dgl_partition.py:211`)."""
+        """Graph placement for puregpu sampling / full-neighbor training
+        (`--mode puregpu` placement semantics, `sage_dgl_partition.py:211`).
+        Each path places only what it consumes: the node-sharded trainer
+        never materializes the full CSR/COO on one device (that is the
+        OOM the sharding exists to avoid), and the 2^31-edge int32 guard
+        applies only to single-device placements."""
         g = self.ds.graph
-        if g.num_edges >= 2**31:
-            # jnp.asarray silently truncates int64 -> int32 (x64 is never
-            # enabled), so device-resident indptr would wrap negative past
-            # 2^31 edges and sampling would silently read node 0's rows.
-            raise NotImplementedError(
-                f"device-resident CSR needs indptr entries < 2^31, got "
-                f"{g.num_edges} edges; use host sampling (--mode mixed) or "
-                f"--node-shard (each shard's edge block stays below 2^31)")
-        self._indptr_dev = jnp.asarray(g.indptr.astype(np.int32))
-        self._indices_dev = jnp.asarray(g.indices.astype(np.int32))
+        cfg = self.cfg
         self._table_dev = None
-        if self.cfg.sampler == "table" and self.cfg.use_sample:
-            from ..graph.device_sampler import build_neighbor_table
-            self._table_dev = jnp.asarray(build_neighbor_table(
-                g.indptr, g.indices, self.cfg.table_width, self.cfg.seed))
-        if not self.cfg.use_sample:
+
+        def guard_int32(path_hint: str):
+            # jnp.asarray silently truncates int64 -> int32 (x64 is never
+            # enabled), so single-device indptr/COO would wrap negative
+            # past 2^31 edges and silently read node 0's rows.
+            if g.num_edges >= 2**31:
+                raise NotImplementedError(
+                    f"single-device graph placement needs < 2^31 edges, got "
+                    f"{g.num_edges}; use {path_hint}")
+
+        if cfg.use_sample:  # --mode puregpu in-jit sampling: CSR in HBM
+            guard_int32("host sampling (--mode mixed)")
+            self._indptr_dev = jnp.asarray(g.indptr.astype(np.int32))
+            self._indices_dev = jnp.asarray(g.indices.astype(np.int32))
+            if cfg.sampler == "table":
+                from ..graph.device_sampler import build_neighbor_table
+                self._table_dev = jnp.asarray(build_neighbor_table(
+                    g.indptr, g.indices, cfg.table_width, cfg.seed))
+            return
+
+        # full-neighbor training
+        if cfg.node_shard and jax.device_count() > 1:
+            # sharded placement only — per-bucket blocks are int32-safe
+            # (local node ids; bucket sizes < 2^31 by construction)
+            from ..parallel.node_sharding import partition_edges_by_block
             src, dst = g.to_coo()
-            self._src_dev = jnp.asarray(src.astype(np.int32))
-            self._dst_dev = jnp.asarray(dst.astype(np.int32))
-            self._indeg_dev = jnp.asarray(g.degrees.astype(np.float32))
-            if self.cfg.node_shard and jax.device_count() > 1:
-                from ..parallel.node_sharding import partition_edges_by_block
-                n_dev = (self.cfg.num_chips if self.cfg.num_chips > 0
-                         else jax.device_count())
-                src_b, dst_b, w_b, block = partition_edges_by_block(
-                    src.astype(np.int64), dst.astype(np.int64),
-                    g.num_nodes, n_dev)
-                self._nshard_blocks = (jnp.asarray(src_b), jnp.asarray(dst_b),
-                                       jnp.asarray(w_b))
-                n_pad = block * n_dev
-                deg_pad = np.ones((n_pad,), np.float32)
-                deg_pad[:g.num_nodes] = g.degrees
-                self._nshard_deg = jnp.asarray(deg_pad)
-                self._nshard_pad = n_pad
+            n_dev = (cfg.num_chips if cfg.num_chips > 0
+                     else jax.device_count())
+            src_b, dst_b, w_b, block = partition_edges_by_block(
+                src.astype(np.int64), dst.astype(np.int64),
+                g.num_nodes, n_dev)
+            self._nshard_blocks = (jnp.asarray(src_b), jnp.asarray(dst_b),
+                                   jnp.asarray(w_b))
+            n_pad = block * n_dev
+            deg_pad = np.ones((n_pad,), np.float32)
+            deg_pad[:g.num_nodes] = g.degrees
+            self._nshard_deg = jnp.asarray(deg_pad)
+            self._nshard_pad = n_pad
+            return
+
+        guard_int32("--node-shard (per-shard edge blocks stay below 2^31)")
+        src, dst = g.to_coo()
+        self._src_dev = jnp.asarray(src.astype(np.int32))
+        self._dst_dev = jnp.asarray(dst.astype(np.int32))
+        self._indeg_dev = jnp.asarray(g.degrees.astype(np.float32))
 
     def _dummy_batch(self):
         B = self.cfg.batch_size
@@ -666,7 +686,9 @@ class SageTrainer:
         host_rng = np.random.default_rng(cfg.seed + 31 * epoch)
         order = host_rng.permutation(self.ds.train_idx)
         per_group = S * B
-        n_groups = max(1, len(order) // per_group)
+        # ceil: the ragged tail wraps (host _grouped_batches cycles the
+        # same way) — flooring silently dropped up to S*B-1 seeds/epoch
+        n_groups = max(1, -(-len(order) // per_group))
         meter = _EpochMeter(self, epoch)
         for g in range(n_groups):
             pick = self._wrap_full(order[g * per_group:(g + 1) * per_group],
@@ -720,6 +742,12 @@ class SageTrainer:
         (`sage_dgl_partition.py:350-361`)."""
         if self.cfg.use_tt and self.cfg.cache_size > 0:
             freq = getattr(self.loader, "freq", None)
+            # with in-jit sampling the host loader never ran: its all-zero
+            # freq would clobber the device-side counters (update_freq)
+            # and populate an empty cache
+            if self.cfg.mode == "puregpu" or (
+                    freq is not None and not freq.any()):
+                freq = None
             self.variables = cache_populate_apply(self.model, self.variables,
                                                   freq=freq)
             # slot->id assignments changed; stale per-slot accumulators

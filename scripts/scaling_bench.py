@@ -10,10 +10,11 @@ Usage: python scripts/scaling_bench.py [--devices 1,2,4,8] [--cpu]
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -27,7 +28,6 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args()
 
-    import os
     if args.cpu:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                    " --xla_force_host_platform_device_count=8")

@@ -23,31 +23,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def get_products_scale_dataset(cache="/tmp/products_synth_v2.npz"):
+def get_products_scale_dataset(cache="/tmp/products_synth_v3.npz"):
     """Synthetic R-MAT at products scale with the OFFICIAL ogbn-products
     split sizes (196,615 train / 39,323 valid / 2,213,091 test,
     `ogbn-products` get_idx_split) — an epoch must do the same amount of
     work as the reference's epoch for the 56.89 s baseline comparison to
     mean anything (a naive 60% split trains on 7.5x more seeds)."""
-    from falcon_ttdforgnns_tpu.graph import synthetic_dataset, CSRGraph, NodeDataset
+    from falcon_ttdforgnns_tpu.graph import synthetic_dataset, NodeDataset
 
     if os.path.exists(cache):
-        z = np.load(cache)
-        graph = CSRGraph(indptr=z["indptr"], indices=z["indices"],
-                         num_nodes=int(z["num_nodes"]))
-        return NodeDataset(graph=graph, labels=z["labels"],
-                           train_idx=z["train_idx"], val_idx=z["val_idx"],
-                           test_idx=z["test_idx"], num_classes=47,
-                           feat_dim=100, name="products-synth")
+        return NodeDataset.load_npz(cache)
     t0 = time.time()
     ds = synthetic_dataset(num_nodes=2_449_029, avg_degree=12, num_classes=47,
                            feat_dim=100, seed=0, name="products-synth",
                            split_counts=(196_615, 39_323, 2_213_091))
     print(f"generated products-scale graph in {time.time() - t0:.0f}s "
           f"({ds.graph.num_edges} edges)", file=sys.stderr)
-    np.savez(cache, indptr=ds.graph.indptr, indices=ds.graph.indices,
-             num_nodes=ds.num_nodes, labels=ds.labels,
-             train_idx=ds.train_idx, val_idx=ds.val_idx, test_idx=ds.test_idx)
+    ds.save_npz(cache)
     return ds
 
 
@@ -89,7 +81,7 @@ def main():
     cfg = TrainConfig(batch_size=1024, fanouts=(5, 10, 15), epochs=args.epochs,
                       hidden_dim=256, num_layers=3, use_tt=True,
                       tt_ranks=(16, 16), p_shapes=(125, 140, 140),
-                      q_shapes=(4, 5, 5), weight_dist="approx-normal",
+                      q_shapes=(5, 5, 4), weight_dist="approx-normal",
                       cache_size=args.cache_size,
                       steps_per_call=args.steps_per_call,
                       mode=args.mode,
@@ -106,10 +98,49 @@ def main():
     print(f"trainer init {time.time() - t0:.0f}s", file=sys.stderr)
 
     if args.steps:
-        import itertools
+        rng = tr._epoch_rng(0)  # honors --rng-impl (rbg on TPU)
+        if cfg.mode == "puregpu":
+            # time the REAL puregpu path: the jitted device multi-step with
+            # in-jit sampling (--sampler csr|table) — dispatching the host
+            # _step_fn here would measure a different configuration than
+            # the flags claim
+            S, B = cfg.steps_per_call, cfg.batch_size
+            pick = np.resize(
+                np.random.default_rng(0).permutation(ds.train_idx), S * B)
+            packed = np.empty((S, B, 2), np.int32)
+            packed[:, :, 0] = pick.reshape(S, B)
+            packed[:, :, 1] = ds.labels[pick].reshape(S, B)
+            packed_d = jnp.asarray(packed)
+            idx_arg = (tr._table_dev if tr._table_dev is not None
+                       else tr._indices_dev)
+            rng, sub = jax.random.split(rng)
+            t0 = time.time()
+            tr.variables, tr.opt_state, loss, acc = tr._device_multi_fn(
+                tr.variables, tr.opt_state, packed_d, sub,
+                tr._indptr_dev, idx_arg)
+            jax.block_until_ready(loss)
+            print(f"multi-step compile+{S} {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+            reps = max(1, args.steps // S)
+            t0 = time.time()
+            for _ in range(reps):
+                rng, sub = jax.random.split(rng)
+                tr.variables, tr.opt_state, loss, acc = tr._device_multi_fn(
+                    tr.variables, tr.opt_state, packed_d, sub,
+                    tr._indptr_dev, idx_arg)
+            jax.block_until_ready(loss)
+            dt = (time.time() - t0) / (reps * S)
+            n_groups = -(-len(ds.train_idx) // (S * B))
+            print(json.dumps({
+                "step_ms": round(dt * 1e3, 1),
+                "samples_per_s": round(B / dt),
+                "projected_epoch_s": round(dt * n_groups * S, 1),
+                "mode": f"puregpu/{cfg.sampler}/{cfg.rng_impl}",
+                "loss": float(loss),
+            }))
+            return
         it = iter(tr.loader)
         batches = [next(it) for _ in range(args.steps)]
-        rng = jax.random.PRNGKey(0)
         # compile
         b = batches[0]
         rng, sub = jax.random.split(rng)
@@ -126,11 +157,12 @@ def main():
                 tr.variables, tr.opt_state, jnp.asarray(b.seeds),
                 [jnp.asarray(l) for l in b.layers], jnp.asarray(b.labels), sub)
         jax.block_until_ready(loss)
-        dt = (time.time() - t0) / (args.steps - 1)
+        dt = (time.time() - t0) / max(1, args.steps - 1)
         print(json.dumps({
             "step_ms": round(dt * 1e3, 1),
             "samples_per_s": round(1024 / dt),
             "projected_epoch_s": round(dt * len(tr.loader), 1),
+            "mode": f"mixed/{cfg.rng_impl}",
             "loss": float(loss),
         }))
         # host sampling throughput (separately)

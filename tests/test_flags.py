@@ -322,3 +322,36 @@ class TestGroupedKernelRouting:
         assert mk()._use_pallas()
         assert not mk(grouped=True)._use_pallas()
         assert mk(grouped=True, kernel="pallas")._use_pallas()  # explicit wins
+
+
+class TestPuregpuCacheLifecycle:
+    def test_device_counters_feed_populate(self):
+        """In puregpu mode the host loader never runs: populate must use
+        the device-side LFU counters (device_freq auto-enabled), not the
+        loader's all-zero freq array (which populated an EMPTY cache)."""
+        ds = small_ds()
+        tr = SageTrainer(ds, small_cfg(mode="puregpu", steps_per_call=2,
+                                       cache_size=32))
+        assert tr.model.device_freq
+        tr.train_epoch(0)
+        meta = jax.tree.leaves(
+            tr.variables["ttcache"], is_leaf=lambda x: hasattr(x, "freq"))[0]
+        assert int(np.asarray(meta.freq).sum()) > 0  # device counting ran
+        tr.maybe_populate_cache()
+        meta = jax.tree.leaves(
+            tr.variables["ttcache"], is_leaf=lambda x: hasattr(x, "ids"))[0]
+        assert int((np.asarray(meta.ids) >= 0).sum()) > 0  # non-empty cache
+
+    def test_puregpu_epoch_covers_tail_seeds(self):
+        """ceil-grouping: a train set slightly above one group must yield
+        two groups (floor dropped up to S*B-1 seeds per epoch)."""
+        ds = small_ds(n=900)
+        cfg = small_cfg(mode="puregpu", steps_per_call=4, batch_size=64)
+        tr = SageTrainer(ds, cfg)
+        per_group = 4 * 64
+        n = len(ds.train_idx)
+        assert n > per_group  # at least one full group plus a tail
+        import math
+        expect = max(1, math.ceil(n / per_group)) * 4
+        tr.train_epoch(0)
+        assert tr.step == expect
