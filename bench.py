@@ -2,7 +2,7 @@
 
 Measures the TT-embedding lookup in the products configuration of the
 reference's microbenchmark (`sage_profiler.py:246-500` with
-`tt_utils.py:49-59` defaults: p=(125,140,140), q=(4,5,5), ranks=(16,16),
+`tt_utils.py:49-59` defaults: p=(125,140,140), q=(5,5,4), ranks=(16,16),
 N=2,449,029, D=100) against the published Efficient_TT number:
 **3.8593 ms per batch-1024 lookup** (`/root/reference/README.md:106`).
 
@@ -34,7 +34,7 @@ def main():
     from falcon_ttdforgnns_tpu.ops.tt_lookup import tt_lookup_gather
     from falcon_ttdforgnns_tpu.ops.tt_pallas import tt_lookup_fused
 
-    shapes = make_tt_shapes(2_449_029, 100, (16, 16), (125, 140, 140), (4, 5, 5))
+    shapes = make_tt_shapes(2_449_029, 100, (16, 16), (125, 140, 140), (5, 5, 4))
     cores = tuple(jnp.asarray(c) for c in
                   tt_init.init_tt_cores(shapes, "normal", seed=0))
 

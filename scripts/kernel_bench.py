@@ -24,9 +24,9 @@ BLK = int(os.environ.get("PROBE_BLOCK", "1024"))
 # run_script.sh final-papers config) | aligned (MXU-128-aligned p-shapes)
 CFG = os.environ.get("PROBE_CFG", "products")
 SHAPES = {
-    "products": (2_449_029, 100, (16, 16), (125, 140, 140), (4, 5, 5)),
+    "products": (2_449_029, 100, (16, 16), (125, 140, 140), (5, 5, 4)),
     "papers": (111_059_956, 128, (16, 16), (400, 500, 600), (4, 4, 8)),
-    "aligned": (2_449_029, 100, (16, 16), (128, 128, 150), (4, 5, 5)),
+    "aligned": (2_449_029, 100, (16, 16), (128, 128, 150), (4, 5, 5))  # aligned study kept as measured,
 }[CFG]
 
 

@@ -39,7 +39,7 @@ def main():
     cfg = TrainConfig(batch_size=1024, fanouts=(5, 10, 15),
                       hidden_dim=256, num_layers=3, use_tt=True,
                       tt_ranks=(16, 16), p_shapes=(125, 140, 140),
-                      q_shapes=(4, 5, 5), weight_dist="approx-normal",
+                      q_shapes=(5, 5, 4), weight_dist="approx-normal",
                       steps_per_call=S, sparse=sparse,
                       mode="puregpu" if puregpu else "mixed",
                       sampler="table" if table else "csr",

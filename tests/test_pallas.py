@@ -43,7 +43,7 @@ def test_padded_arbitrary_length(case):
 
 
 def test_products_config_shapes():
-    shapes = make_tt_shapes(2_449_029, 100, (16, 16), (125, 140, 140), (4, 5, 5))
+    shapes = make_tt_shapes(2_449_029, 100, (16, 16), (125, 140, 140), (5, 5, 4))
     cores = tuple(jnp.asarray(c) for c in tt_init.init_tt_cores(shapes, "normal", 0))
     idx = jnp.asarray(np.random.default_rng(2).integers(
         0, shapes.num_embeddings, 256).astype(np.int32))

@@ -55,7 +55,7 @@ class TestShapes:
             TTShapes(100, 63, (5, 5, 4), (4, 4, 4), (8, 8))  # prod(q) != D
 
     def test_compression(self):
-        shapes = make_tt_shapes(2449029, 100, (16, 16), (125, 140, 140), (4, 5, 5))
+        shapes = make_tt_shapes(2449029, 100, (16, 16), (125, 140, 140), (5, 5, 4))
         assert shapes.compression_rate > 8.0
 
 
