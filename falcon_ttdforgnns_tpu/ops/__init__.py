@@ -18,4 +18,4 @@ from .tt_pallas import (
     tt_fused_sgd_pallas,
 )
 from .tt_lookup import tt_lookup_batched
-from . import cache, segment
+from . import cache, segment, spmm_blocked

@@ -849,8 +849,10 @@ class SageTrainer:
         # Default: chunked XLA gather+segment-sum (the measured winner on
         # v5e; the gather is the wall for every formulation — see
         # docs/PERFORMANCE.md).  cfg.spmm == "pallas" opts into the tiled
-        # segment-matmul kernel (ops/spmm_pallas.py).
+        # segment-matmul kernel (ops/spmm_pallas.py); "blocked" into the
+        # window-blocked VMEM-gather kernel (ops/spmm_blocked.py).
         use_tiled = cfg.spmm == "pallas" and jax.default_backend() == "tpu"
+        use_blocked = cfg.spmm == "blocked" and jax.default_backend() == "tpu"
         if not hasattr(self, "_eval_args"):
             src, dst = ds.graph.to_coo()
             common = (
@@ -859,7 +861,18 @@ class SageTrainer:
                 jnp.asarray(ds.train_idx), jnp.asarray(ds.val_idx),
                 jnp.asarray(ds.test_idx),
             )
-            if use_tiled:
+            if use_blocked:
+                from ..ops.spmm_blocked import (build_window_tiles,
+                                                chunk_tiles_host)
+                ts = build_window_tiles(src.astype(np.int64),
+                                        dst.astype(np.int64), n,
+                                        tile=4096, dst_buckets=16,
+                                        chunk_tiles=512)
+                self._eval_blocked_tile = ts.tile
+                chunks = chunk_tiles_host(ts, 512)
+                self._eval_args = tuple(
+                    jnp.asarray(a) for a in chunks) + common
+            elif use_tiled:
                 from ..ops.spmm_pallas import (auto_tile_edges,
                                                build_spmm_tiles_uniform)
                 e_t = auto_tile_edges(len(src), n)
@@ -883,7 +896,30 @@ class SageTrainer:
                     jnp.asarray(dst.astype(np.int32))) + common
 
         if not hasattr(self, "_eval_fn"):
-            if use_tiled:
+            if use_blocked:
+                from ..ops.spmm_blocked import spmm_sum_blocked_dev
+                T = self._eval_blocked_tile
+
+                @jax.jit
+                def eval_fn(variables, win2, idx2, dst2, w2, deg, labels,
+                            tr_i, va_i, te_i):
+                    ids = jnp.arange(n, dtype=jnp.int32)
+                    h = self.model.apply(variables, ids,
+                                         method=SAGE.materialize_features)
+                    degc = jnp.maximum(deg, 1.0)[:, None]
+                    for li in range(cfg.num_layers):
+                        agg = spmm_sum_blocked_dev(
+                            h, win2, idx2, dst2, w2, T, n) / degc
+                        h = self.model.apply(variables, h, agg, li,
+                                             method=SAGE.apply_conv)
+                    pred = jnp.argmax(h, -1)
+
+                    def acc(idx):
+                        return jnp.mean((jnp.take(pred, idx) ==
+                                         jnp.take(labels, idx))
+                                        .astype(jnp.float32))
+                    return acc(tr_i), acc(va_i), acc(te_i)
+            elif use_tiled:
                 from ..ops.spmm_pallas import spmm_sum_tiled_uniform
                 nbp, nbc, NR, E_t = self._eval_tiles_meta
 

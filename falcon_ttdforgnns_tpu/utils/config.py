@@ -108,10 +108,12 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     t.add_argument("--batch-count", type=int, default=65536,
                    help="lookup chunk size (VMEM budget knob, cu:1027 analog)")
     t.add_argument("--spmm", type=str, default="xla",
-                   choices=["xla", "pallas"],
+                   choices=["xla", "pallas", "blocked"],
                    help="full-graph aggregation backend for eval: chunked "
-                        "XLA gather+segment-sum (measured fastest on v5e) "
-                        "or the tiled segment-matmul Pallas kernel")
+                        "XLA gather+segment-sum (measured fastest on v5e), "
+                        "the tiled segment-matmul Pallas kernel, or the "
+                        "window-blocked VMEM-gather kernel "
+                        "(ops/spmm_blocked.py)")
 
     # cache (tt_utils.py:60-63)
     c = p.add_argument_group("cache")

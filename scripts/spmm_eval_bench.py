@@ -80,6 +80,33 @@ def run_tiled(src_np, dst_np, h, tag):
     timed(f"tiled-uniform-{tag}", loop, h, *args)
 
 
+def run_blocked(src_np, dst_np, h, tag, dtype=jnp.float32):
+    from falcon_ttdforgnns_tpu.ops.spmm_blocked import (
+        build_window_tiles, chunk_tiles_host, spmm_sum_blocked_dev)
+    T, CT = 4096, 512
+    t0 = time.time()
+    ts = build_window_tiles(src_np.astype(np.int64), dst_np.astype(np.int64),
+                            N, tile=T, dst_buckets=16, chunk_tiles=CT)
+    print(f"blocked-{tag}: host tiling {time.time()-t0:.0f}s "
+          f"tiles={ts.win.shape[0]} "
+          f"pad={ts.win.shape[0]*T/len(src_np):.2f}x", flush=True)
+    win2, idx2, dst2, w2 = (jnp.asarray(a) for a in chunk_tiles_host(ts, CT))
+    hh = h.astype(dtype)
+
+    @jax.jit
+    def loop(h, win2, idx2, dst2, w2):
+        def body(i, carry):
+            s, hcur = carry
+            out = spmm_sum_blocked_dev(hcur, win2, idx2, dst2, w2, T, N)
+            # data dependence: next pass's h depends on this pass's sum
+            return (s + out.sum().astype(jnp.float32),
+                    hcur + (s * 1e-30).astype(hcur.dtype))
+        s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0), h))
+        return s
+
+    timed(f"blocked-{dtype.__name__}-{tag}", loop, hh, win2, idx2, dst2, w2)
+
+
 def main():
     print("backend:", jax.default_backend(), flush=True)
     ds = synthetic_dataset(num_nodes=N, avg_degree=25, num_classes=47,
@@ -105,6 +132,8 @@ def main():
         run_chunked(s, d, h, tag, jnp.float32)
         run_chunked(s, d, h, tag, jnp.bfloat16)
         del s, d
+    run_blocked(src_np, dst_np, h, "raw")
+    run_blocked(src_np, dst_np, h, "raw", jnp.bfloat16)
     run_tiled(src_np, dst_np, h, "raw")
     run_tiled(src_r, dst_r, h, "rcm")
 
