@@ -205,3 +205,54 @@ def spmm_sum_blocked(h: jax.Array, tiles: WindowTiles,
                                                              chunk_tiles))
     return spmm_sum_blocked_dev(h, win2, idx2, dst2, w2, tiles.tile,
                                 tiles.num_nodes, interpret)
+
+
+class BlockedSpmm(NamedTuple):
+    """Differentiable window-blocked SpMM operator for a FIXED graph:
+    ``fwd`` tiles A, ``bwd`` tiles Aᵀ (d_h = Aᵀ g — the backward pass is
+    the same kernel with src/dst roles swapped).  Build once per graph
+    with :func:`build_blocked_spmm`; apply with :func:`apply_blocked_spmm`
+    inside any jitted, differentiated computation (full-graph GCN/GAT
+    training)."""
+
+    fwd: tuple  # (win2, idx2, dst2, w2) device arrays
+    bwd: tuple
+    tile: int
+    num_nodes: int
+
+
+def build_blocked_spmm(src: np.ndarray, dst: np.ndarray, num_nodes: int,
+                       edge_weight: Optional[np.ndarray] = None,
+                       tile: int = 4096, dst_buckets: int = 16,
+                       chunk_tiles: int = 512) -> BlockedSpmm:
+    f = build_window_tiles(src, dst, num_nodes, edge_weight, tile,
+                           dst_buckets, chunk_tiles)
+    b = build_window_tiles(dst, src, num_nodes, edge_weight, tile,
+                           dst_buckets, chunk_tiles)
+    dev = lambda ts: tuple(jnp.asarray(a)
+                           for a in chunk_tiles_host(ts, chunk_tiles))
+    return BlockedSpmm(fwd=dev(f), bwd=dev(b), tile=tile,
+                       num_nodes=num_nodes)
+
+
+def apply_blocked_spmm(h: jax.Array, op: BlockedSpmm) -> jax.Array:
+    return _apply_op(op.tile, op.num_nodes, h, op.fwd, op.bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _apply_op(tile, num_nodes, h, fwd, bwd):
+    interpret = jax.default_backend() != "tpu"
+    return spmm_sum_blocked_dev(h, *fwd, tile, num_nodes, interpret)
+
+
+def _apply_op_fwd(tile, num_nodes, h, fwd, bwd):
+    return _apply_op(tile, num_nodes, h, fwd, bwd), bwd
+
+
+def _apply_op_bwd(tile, num_nodes, bwd, g):
+    interpret = jax.default_backend() != "tpu"
+    d_h = spmm_sum_blocked_dev(g, *bwd, tile, num_nodes, interpret)
+    return d_h, None, None
+
+
+_apply_op.defvjp(_apply_op_fwd, _apply_op_bwd)

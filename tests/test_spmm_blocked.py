@@ -100,3 +100,36 @@ def test_blocked_dev_inside_jit_layerwise():
         want = spmm_sum(want, srcj, dstj, n)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_blocked_vjp_matches_reference_grad():
+    """apply_blocked_spmm's custom VJP (transposed tiling) must agree
+    with autodiff through the dense segment-sum reference."""
+    from falcon_ttdforgnns_tpu.ops.spmm_blocked import (build_blocked_spmm,
+                                                        apply_blocked_spmm)
+    n, e, d = 1500, 9_000, 8
+    src, dst = random_graph(n, e, seed=9)
+    w = np.random.default_rng(10).random(e).astype(np.float32)
+    h0 = jnp.asarray(np.random.default_rng(11).normal(size=(n, d)).astype(np.float32))
+    op = build_blocked_spmm(src, dst, n, edge_weight=w, tile=256,
+                            dst_buckets=4, chunk_tiles=8)
+    srcj = jnp.asarray(src.astype(np.int32))
+    dstj = jnp.asarray(dst.astype(np.int32))
+    wj = jnp.asarray(w)
+
+    @jax.jit
+    def loss_blocked(h):
+        out = apply_blocked_spmm(h, op)
+        return jnp.sum(jnp.sin(out) * out)
+
+    @jax.jit
+    def loss_ref(h):
+        out = spmm_sum(h, srcj, dstj, n, edge_weight=wj)
+        return jnp.sum(jnp.sin(out) * out)
+
+    np.testing.assert_allclose(float(loss_blocked(h0)), float(loss_ref(h0)),
+                               rtol=1e-4)
+    g_b = jax.grad(loss_blocked)(h0)
+    g_r = jax.grad(loss_ref)(h0)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_r),
+                               rtol=1e-3, atol=1e-4)
