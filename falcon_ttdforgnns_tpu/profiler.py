@@ -59,7 +59,7 @@ class TTEmbeddingBenchmark:
 
     def __init__(self, batch_size: int = 1024,
                  p_shapes: Sequence[int] = (125, 140, 140),
-                 q_shapes: Sequence[int] = (4, 5, 5),
+                 q_shapes: Sequence[int] = (5, 5, 4),
                  ranks: Sequence[int] = (16, 16), seed: int = 0):
         self.shapes = make_tt_shapes(int(np.prod(p_shapes)), int(np.prod(q_shapes)),
                                      tuple(ranks), tuple(p_shapes), tuple(q_shapes))

@@ -14,16 +14,16 @@ case "$PRESET" in
       --batch 1024 --fan-out 5,10,15 --epochs 2 ;;
   fbtt-products)      # TT rank 16,16 products (run_script.sh fbtt-products)
     "${PY[@]}" --model sage --dataset ogbn-products --use-tt \
-      --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 4,5,5 \
+      --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 5,5,4 \
       --batch 1024 --fan-out 5,10,15 --epochs 2 ;;
   final-p)            # METIS partition reorder + cache (README.md:100)
     "${PY[@]}" --model sage --dataset ogbn-products --use-tt \
-      --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 4,5,5 \
+      --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 5,5,4 \
       --partition 128 --use-cached --cache-size 100000 \
       --batch 1024 --fan-out 5,10,15 --epochs 2 ;;
   final-p2)           # RCMK reorder (README.md:101)
     "${PY[@]}" --model sage --dataset ogbn-products --use-tt \
-      --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 4,5,5 \
+      --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 5,5,4 \
       --partition -2 --batch 1024 --fan-out 5,10,15 --epochs 2 ;;
   gcn)                # full-graph GCN arxiv (run_script.sh gcn preset)
     "${PY[@]}" --model gcn --dataset ogbn-arxiv --use-tt \
@@ -50,12 +50,12 @@ case "$PRESET" in
   puregpu)            # device-resident graph + on-device sampling (fastest
                       # TPU path: per-dispatch transfer is seeds+labels only)
     "${PY[@]}" --model sage --dataset ogbn-products --use-tt \
-      --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 4,5,5 \
+      --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 5,5,4 \
       --mode puregpu --steps-per-call 48 --partition 128 \
       --batch 1024 --fan-out 5,10,15 --epochs 2 ;;
   sparse-fused)       # fused Pallas backward+SGD TT-core updates
     "${PY[@]}" --model sage --dataset ogbn-products --use-tt \
-      --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 4,5,5 \
+      --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 5,5,4 \
       --sparse --partition 128 \
       --batch 1024 --fan-out 5,10,15 --epochs 2 ;;
   full-neighbor)      # exact-aggregation training (NoTT-FullNeighbor rows)

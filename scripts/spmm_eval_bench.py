@@ -80,7 +80,7 @@ def run_tiled(src_np, dst_np, h, tag):
     timed(f"tiled-uniform-{tag}", loop, h, *args)
 
 
-def run_blocked(src_np, dst_np, h, tag, dtype=jnp.float32):
+def run_blocked(src_np, dst_np, h, tag, dtypes=(jnp.float32, jnp.bfloat16)):
     from falcon_ttdforgnns_tpu.ops.spmm_blocked import (
         build_window_tiles, chunk_tiles_host, spmm_sum_blocked_dev)
     T, CT = 4096, 512
@@ -91,7 +91,6 @@ def run_blocked(src_np, dst_np, h, tag, dtype=jnp.float32):
           f"tiles={ts.win.shape[0]} "
           f"pad={ts.win.shape[0]*T/len(src_np):.2f}x", flush=True)
     win2, idx2, dst2, w2 = (jnp.asarray(a) for a in chunk_tiles_host(ts, CT))
-    hh = h.astype(dtype)
 
     @jax.jit
     def loop(h, win2, idx2, dst2, w2):
@@ -104,7 +103,9 @@ def run_blocked(src_np, dst_np, h, tag, dtype=jnp.float32):
         s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0), h))
         return s
 
-    timed(f"blocked-{dtype.__name__}-{tag}", loop, hh, win2, idx2, dst2, w2)
+    for dtype in dtypes:  # one tiling serves every dtype
+        timed(f"blocked-{dtype.__name__}-{tag}", loop, h.astype(dtype),
+              win2, idx2, dst2, w2)
 
 
 def main():
@@ -133,7 +134,6 @@ def main():
         run_chunked(s, d, h, tag, jnp.bfloat16)
         del s, d
     run_blocked(src_np, dst_np, h, "raw")
-    run_blocked(src_np, dst_np, h, "raw", jnp.bfloat16)
     run_tiled(src_np, dst_np, h, "raw")
     run_tiled(src_r, dst_r, h, "rcm")
 
