@@ -852,7 +852,8 @@ class SageTrainer:
         # segment-matmul kernel (ops/spmm_pallas.py); "blocked" into the
         # window-blocked VMEM-gather kernel (ops/spmm_blocked.py).
         use_tiled = cfg.spmm == "pallas" and jax.default_backend() == "tpu"
-        use_blocked = cfg.spmm == "blocked" and jax.default_backend() == "tpu"
+        # blocked runs everywhere: interpret-mode off-TPU (testable wiring)
+        use_blocked = cfg.spmm == "blocked"
         if not hasattr(self, "_eval_args"):
             src, dst = ds.graph.to_coo()
             common = (
@@ -864,12 +865,15 @@ class SageTrainer:
             if use_blocked:
                 from ..ops.spmm_blocked import (build_window_tiles,
                                                 chunk_tiles_host)
+                on_tpu = jax.default_backend() == "tpu"
+                tile_e = 4096 if on_tpu else 256    # interpret: small tiles
+                ct = 512 if on_tpu else 8
                 ts = build_window_tiles(src.astype(np.int64),
                                         dst.astype(np.int64), n,
-                                        tile=4096, dst_buckets=16,
-                                        chunk_tiles=512)
+                                        tile=tile_e, dst_buckets=16,
+                                        chunk_tiles=ct)
                 self._eval_blocked_tile = ts.tile
-                chunks = chunk_tiles_host(ts, 512)
+                chunks = chunk_tiles_host(ts, ct)
                 self._eval_args = tuple(
                     jnp.asarray(a) for a in chunks) + common
             elif use_tiled:
@@ -899,6 +903,7 @@ class SageTrainer:
             if use_blocked:
                 from ..ops.spmm_blocked import spmm_sum_blocked_dev
                 T = self._eval_blocked_tile
+                interp = jax.default_backend() != "tpu"
 
                 @jax.jit
                 def eval_fn(variables, win2, idx2, dst2, w2, deg, labels,
@@ -909,7 +914,8 @@ class SageTrainer:
                     degc = jnp.maximum(deg, 1.0)[:, None]
                     for li in range(cfg.num_layers):
                         agg = spmm_sum_blocked_dev(
-                            h, win2, idx2, dst2, w2, T, n) / degc
+                            h, win2, idx2, dst2, w2, T, n,
+                            interpret=interp) / degc
                         h = self.model.apply(variables, h, agg, li,
                                              method=SAGE.apply_conv)
                     pred = jnp.argmax(h, -1)

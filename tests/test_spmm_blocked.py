@@ -133,3 +133,23 @@ def test_blocked_vjp_matches_reference_grad():
     g_r = jax.grad(loss_ref)(h0)
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_r),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_trainer_eval_blocked_matches_xla():
+    """--spmm blocked evaluation wiring: accuracies must match the
+    default XLA eval path exactly (same model state, same graph)."""
+    from falcon_ttdforgnns_tpu.graph import synthetic_dataset
+    from falcon_ttdforgnns_tpu.train import SageTrainer, TrainConfig
+    ds = synthetic_dataset(num_nodes=600, avg_degree=6, num_classes=4,
+                           feat_dim=16, seed=0)
+    base = dict(batch_size=16, fanouts=(2, 3), epochs=1, dropout=0.0,
+                hidden_dim=16, num_layers=2, use_tt=True, tt_ranks=(4, 4),
+                weight_dist="normal", eval_every=100, log_every=1000,
+                seed=0, skip_eval=True)
+    tr_x = SageTrainer(ds, TrainConfig(**base, spmm="xla"))
+    tr_b = SageTrainer(ds, TrainConfig(**base, spmm="blocked"))
+    tr_b.variables = tr_x.variables  # identical params
+    ax = tr_x.evaluate()
+    ab = tr_b.evaluate()
+    for k in ax:
+        assert abs(ax[k] - ab[k]) < 1e-6, (k, ax, ab)
