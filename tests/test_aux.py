@@ -115,3 +115,38 @@ class TestTrainerResume:
         # training continues from the restored state without error
         stats = t2.train_epoch(1)
         assert np.isfinite(stats["loss"])
+
+
+def test_training_is_seed_deterministic():
+    """Two trainers with identical seeds must produce IDENTICAL loss
+    sequences — covers the native CSR row-order and per-position sampler
+    seeding fixes (thread interleaving must not leak into batches)."""
+    from falcon_ttdforgnns_tpu.graph import synthetic_dataset
+    from falcon_ttdforgnns_tpu.train import SageTrainer, TrainConfig
+    import numpy as np
+
+    def one_epoch_losses():
+        ds = synthetic_dataset(num_nodes=800, avg_degree=6, num_classes=4,
+                               feat_dim=16, seed=3)
+        cfg = TrainConfig(batch_size=32, fanouts=(3, 3), epochs=1,
+                          dropout=0.5, hidden_dim=16, num_layers=2,
+                          use_tt=True, tt_ranks=(4, 4),
+                          weight_dist="normal", eval_every=100,
+                          log_every=1000, seed=11, skip_eval=True)
+        tr = SageTrainer(ds, cfg)
+        losses = []
+        for batch in tr.loader:
+            import jax, jax.numpy as jnp
+            rng = jax.random.fold_in(jax.random.PRNGKey(0), len(losses))
+            tr.variables, tr.opt_state, loss, _ = tr._step_fn(
+                tr.variables, tr.opt_state, jnp.asarray(batch.seeds),
+                [jnp.asarray(l) for l in batch.layers],
+                jnp.asarray(batch.labels), rng)
+            losses.append(float(loss))
+            if len(losses) >= 6:
+                break
+        return np.asarray(losses)
+
+    a = one_epoch_losses()
+    b = one_epoch_losses()
+    np.testing.assert_array_equal(a, b)
