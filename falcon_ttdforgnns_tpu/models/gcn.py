@@ -21,15 +21,19 @@ class GCN(nn.Module):
     num_layers: int = 3
     dropout: float = 0.5
     use_linear: bool = False
+    blocked_tile: int = 0  # >0: convs accept blocked-SpMM tiling args
 
     @nn.compact
     def __call__(self, feat: jax.Array, src: jax.Array, dst: jax.Array,
-                 in_deg: jax.Array, train: bool = False) -> jax.Array:
+                 in_deg: jax.Array, train: bool = False,
+                 spmm_args=None) -> jax.Array:
         n = feat.shape[0]
         h = feat
         for i in range(self.num_layers):
             out_d = self.num_classes if i == self.num_layers - 1 else self.hidden_dim
-            conv = GraphConv(out_d, name=f"conv_{i}")(h, src, dst, in_deg, n)
+            conv = GraphConv(out_d, name=f"conv_{i}",
+                             blocked_tile=self.blocked_tile or None)(
+                h, src, dst, in_deg, n, spmm_args)
             if self.use_linear:
                 conv = conv + nn.Dense(out_d, use_bias=False, name=f"linear_{i}")(h)
             h = conv

@@ -61,14 +61,27 @@ class GraphConv(nn.Module):
 
     out_dim: int
     use_bias: bool = True
+    # set (with spmm_args passed at call time) to aggregate via the
+    # window-blocked kernel (ops/spmm_blocked.py) instead of the XLA
+    # gather+segment-sum — the tiling arrays come in as ARGUMENTS so jit
+    # does not bake edge-scale constants into the program
+    blocked_tile: Optional[int] = None
 
     @nn.compact
     def __call__(self, h: jax.Array, src: jax.Array, dst: jax.Array,
-                 in_deg: jax.Array, num_nodes: int) -> jax.Array:
+                 in_deg: jax.Array, num_nodes: int,
+                 spmm_args=None) -> jax.Array:
         h = nn.Dense(self.out_dim, use_bias=self.use_bias)(h)
         norm = jax.lax.rsqrt(jnp.maximum(in_deg.astype(h.dtype), 1.0))
-        msgs = jnp.take(h * norm[:, None], src, axis=0)
-        agg = jax.ops.segment_sum(msgs, dst, num_segments=num_nodes)
+        hn = h * norm[:, None]
+        if spmm_args is not None:
+            from ..ops.spmm_blocked import BlockedSpmm, apply_blocked_spmm
+            op = BlockedSpmm(fwd=spmm_args[0], bwd=spmm_args[1],
+                             tile=self.blocked_tile, num_nodes=num_nodes)
+            agg = apply_blocked_spmm(hn, op)
+        else:
+            msgs = jnp.take(hn, src, axis=0)
+            agg = jax.ops.segment_sum(msgs, dst, num_segments=num_nodes)
         return agg * norm[:, None]
 
 

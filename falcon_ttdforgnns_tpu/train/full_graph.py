@@ -60,6 +60,8 @@ class FullGraphModel(nn.Module):
     cache_size: int = 0
     precomputed_cores: Optional[tuple] = None
 
+    blocked_tile: int = 0  # >0 (gcn only): convs take blocked-SpMM args
+
     def setup(self):
         self.embed_layer = make_embed_layer(
             self.num_nodes, self.in_dim, self.use_tt, self.tt_ranks,
@@ -68,19 +70,24 @@ class FullGraphModel(nn.Module):
         in_dim = self.in_dim + (self.num_classes if self.use_labels else 0)
         if self.model_type == "gcn":
             self.gnn = GCN(in_dim, self.hidden_dim, self.num_classes,
-                           self.num_layers, self.dropout, self.use_linear)
+                           self.num_layers, self.dropout, self.use_linear,
+                           blocked_tile=self.blocked_tile)
         else:
             self.gnn = GAT(in_dim, self.hidden_dim, self.num_classes,
                            self.num_layers, self.num_heads, self.dropout,
                            use_linear=self.use_linear)
 
-    def __call__(self, src, dst, in_deg, label_onehot=None, train=False):
+    def __call__(self, src, dst, in_deg, label_onehot=None, train=False,
+                 spmm_args=None):
         """Materialize ALL rows via the embedding, optionally concat the
         masked label onehots, run the GNN over the full COO graph."""
         ids = jnp.arange(self.num_nodes, dtype=jnp.int32)
         feat = self.embed_layer(ids, None, train)
         if self.use_labels:
             feat = jnp.concatenate([feat, label_onehot], axis=-1)
+        if self.model_type == "gcn":
+            return self.gnn(feat, src, dst, in_deg, train=train,
+                            spmm_args=spmm_args)
         return self.gnn(feat, src, dst, in_deg, train=train)
 
     def materialize_features(self, ids: jax.Array) -> jax.Array:
@@ -110,6 +117,9 @@ class FullGraphConfig:
     warmup_epochs: int = 50
     mask_rate: float = 0.5
     eval_every: int = 10
+    # full-graph aggregation backend (gcn only): "xla" gather+segment-sum
+    # or "blocked" (ops/spmm_blocked.py window-gather kernel)
+    spmm: str = "xla"
     seed: int = 0
 
 
@@ -120,6 +130,13 @@ class FullGraphTrainer:
         self.cfg = config
         self.logger = logger
         cfg = config
+        use_blocked = cfg.spmm == "blocked"
+        if use_blocked and cfg.model != "gcn":
+            raise ValueError("--spmm blocked serves GCN; GAT attention is "
+                             "per-step-weighted (static tilings cannot "
+                             "carry the softmax weights)")
+        on_tpu = jax.default_backend() == "tpu"
+        self._blocked_tile = (4096 if on_tpu else 256) if use_blocked else 0
         self.model = FullGraphModel(
             model_type=cfg.model, num_nodes=dataset.num_nodes,
             in_dim=dataset.feat_dim, hidden_dim=cfg.hidden_dim,
@@ -128,9 +145,20 @@ class FullGraphTrainer:
             use_linear=cfg.use_linear, use_labels=cfg.use_labels,
             use_tt=cfg.use_tt, tt_ranks=cfg.tt_ranks,
             p_shapes=cfg.p_shapes, q_shapes=cfg.q_shapes,
-            weight_dist=cfg.weight_dist, precomputed_cores=precomputed_cores)
+            weight_dist=cfg.weight_dist, precomputed_cores=precomputed_cores,
+            blocked_tile=self._blocked_tile)
 
         src, dst = dataset.graph.to_coo()
+        self._spmm_args = None
+        if use_blocked:
+            from ..ops.spmm_blocked import build_blocked_spmm
+            ct = 512 if on_tpu else 8
+            op = build_blocked_spmm(src.astype(np.int64),
+                                    dst.astype(np.int64),
+                                    dataset.num_nodes,
+                                    tile=self._blocked_tile,
+                                    dst_buckets=16, chunk_tiles=ct)
+            self._spmm_args = (op.fwd, op.bwd)
         self.src = jnp.asarray(src)
         self.dst = jnp.asarray(dst)
         self.in_deg = jnp.asarray(dataset.graph.degrees.astype(np.float32))
@@ -162,7 +190,7 @@ class FullGraphTrainer:
 
         @jax.jit
         def step(variables, opt_state, src, dst, in_deg, labels,
-                 pred_idx_mask, label_mask, rng):
+                 pred_idx_mask, label_mask, rng, spmm_args):
             params = variables["params"]
             aux = {k: v for k, v in variables.items() if k != "params"}
             # the (N, C) onehot is built ON DEVICE from the (N,) mask — the
@@ -174,7 +202,7 @@ class FullGraphTrainer:
             def loss_fn(p):
                 out, mutated = model.apply(
                     {"params": p, **aux}, src, dst, in_deg, label_onehot,
-                    train=True, rngs={"dropout": rng},
+                    train=True, spmm_args=spmm_args, rngs={"dropout": rng},
                     mutable=["batch_stats", "ttcache"])
                 # masked mean over the 50% prediction split
                 ce = optax.softmax_cross_entropy_with_integer_labels(out, labels)
@@ -196,11 +224,11 @@ class FullGraphTrainer:
         n_classes = self.ds.num_classes
 
         @jax.jit
-        def ev(variables, src, dst, in_deg, labels, label_mask):
+        def ev(variables, src, dst, in_deg, labels, label_mask, spmm_args):
             onehot = (jax.nn.one_hot(labels, n_classes, dtype=jnp.float32)
                       * label_mask[:, None]) if cfg.use_labels else None
             return model.apply(variables, src, dst, in_deg, onehot,
-                               train=False)
+                               train=False, spmm_args=spmm_args)
 
         return ev
 
@@ -230,7 +258,7 @@ class FullGraphTrainer:
         self.variables, self.opt_state, loss, logits = self._step(
             self.variables, self.opt_state, self.src, self.dst, self.in_deg,
             self.labels, jnp.asarray(pred_mask), self._label_mask(label_idx),
-            key)
+            key, self._spmm_args)
         loss = float(loss)
         dt = time.perf_counter() - t0
         return {"loss": loss, "epoch_time": dt,
@@ -241,7 +269,8 @@ class FullGraphTrainer:
             self._eval_label_mask = self._label_mask(np.asarray(self.train_idx))
         logits = np.asarray(self._eval(self.variables, self.src, self.dst,
                                        self.in_deg, self.labels,
-                                       self._eval_label_mask))
+                                       self._eval_label_mask,
+                                       self._spmm_args))
         pred = logits.argmax(-1)
         lab = np.asarray(self.labels)
         return {f"{s}_acc": float((pred[i] == lab[i]).mean())

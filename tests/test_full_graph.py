@@ -79,3 +79,28 @@ def test_warmup_first_epoch_trains(tiny_ds):
         not np.allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(before, after))
     assert changed, "epoch 0 applied a zero update (warmup off-by-one)"
+
+
+def test_gcn_blocked_spmm_matches_xla(tiny_ds):
+    """Full-graph GCN with --spmm blocked: same seed must give the same
+    training losses (fp-tolerance) and identical eval accuracies as the
+    XLA aggregation path."""
+    import numpy as np
+    base = dict(model="gcn", epochs=3, lr=0.01, hidden_dim=16,
+                num_layers=2, tt_ranks=(4, 4), eval_every=100, seed=0)
+    tx = FullGraphTrainer(tiny_ds, FullGraphConfig(**base, spmm="xla"))
+    tb = FullGraphTrainer(tiny_ds, FullGraphConfig(**base, spmm="blocked"))
+    for e in range(3):
+        lx = tx.train_epoch(e)["loss"]
+        lb = tb.train_epoch(e)["loss"]
+        np.testing.assert_allclose(lx, lb, rtol=1e-3, atol=1e-4)
+    ax, ab = tx.evaluate(), tb.evaluate()
+    for k in ax:
+        assert abs(ax[k] - ab[k]) < 0.02, (k, ax, ab)
+
+
+def test_gat_blocked_spmm_rejected(tiny_ds):
+    import pytest
+    with pytest.raises(ValueError, match="GAT"):
+        FullGraphTrainer(tiny_ds, FullGraphConfig(model="gat", epochs=1,
+                                                  spmm="blocked"))
