@@ -117,7 +117,7 @@ def main(argv=None):
                 weight_dist=args.init if args.init in (
                     "normal", "uniform", "naive-uniform", "approx-normal",
                     "approx-uniform") else "approx-normal",
-                spmm=args.spmm if args.model == "gcn" else "xla",
+                spmm=args.spmm,  # trainer validates (gat+blocked raises)
                 eval_every=args.eval_every, seed=args.seed)
             trainer = FullGraphTrainer(ds, cfg, logger=logger,
                                        precomputed_cores=precomputed)

@@ -75,6 +75,9 @@ class GraphConv(nn.Module):
         norm = jax.lax.rsqrt(jnp.maximum(in_deg.astype(h.dtype), 1.0))
         hn = h * norm[:, None]
         if spmm_args is not None:
+            if self.blocked_tile is None:
+                raise ValueError("GraphConv: passing spmm_args requires "
+                                 "blocked_tile (the tiling's tile size)")
             from ..ops.spmm_blocked import BlockedSpmm, apply_blocked_spmm
             op = BlockedSpmm(fwd=spmm_args[0], bwd=spmm_args[1],
                              tile=self.blocked_tile, num_nodes=num_nodes)

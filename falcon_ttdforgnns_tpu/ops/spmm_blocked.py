@@ -157,6 +157,13 @@ def _gather_msgs(h_pad: jax.Array, win: jax.Array, idx: jax.Array,
     )(win, h_pad, h_pad, idx.reshape(-1), w.reshape(-1))
 
 
+def default_blocked_tiling():
+    """(tile, chunk_tiles) — measured-default sizes on TPU, tiny sizes in
+    interpret mode (one place to retune once chip measurements land)."""
+    on_tpu = jax.default_backend() == "tpu"
+    return (4096 if on_tpu else 256), (512 if on_tpu else 8)
+
+
 def chunk_tiles_host(tiles: WindowTiles, chunk_tiles: int = 512):
     """Reshape tile metadata into scan-ready chunk stacks:
     (n_chunks, CT), (n_chunks, CT*T) x3."""

@@ -130,13 +130,18 @@ class FullGraphTrainer:
         self.cfg = config
         self.logger = logger
         cfg = config
+        if cfg.spmm not in ("xla", "blocked"):
+            raise ValueError(f"full-graph trainer supports spmm 'xla' or "
+                             f"'blocked', got {cfg.spmm!r} ('pallas' is the "
+                             f"SAGE eval tiled kernel)")
         use_blocked = cfg.spmm == "blocked"
         if use_blocked and cfg.model != "gcn":
             raise ValueError("--spmm blocked serves GCN; GAT attention is "
                              "per-step-weighted (static tilings cannot "
                              "carry the softmax weights)")
-        on_tpu = jax.default_backend() == "tpu"
-        self._blocked_tile = (4096 if on_tpu else 256) if use_blocked else 0
+        from ..ops.spmm_blocked import default_blocked_tiling
+        tile_d, ct = default_blocked_tiling()
+        self._blocked_tile = tile_d if use_blocked else 0
         self.model = FullGraphModel(
             model_type=cfg.model, num_nodes=dataset.num_nodes,
             in_dim=dataset.feat_dim, hidden_dim=cfg.hidden_dim,
@@ -152,7 +157,6 @@ class FullGraphTrainer:
         self._spmm_args = None
         if use_blocked:
             from ..ops.spmm_blocked import build_blocked_spmm
-            ct = 512 if on_tpu else 8
             op = build_blocked_spmm(src.astype(np.int64),
                                     dst.astype(np.int64),
                                     dataset.num_nodes,
@@ -179,7 +183,7 @@ class FullGraphTrainer:
             if cfg.use_labels else None
         self.variables = self.model.init(
             {"params": rng, "dropout": rng}, self.src, self.dst, self.in_deg,
-            onehot0, train=False)
+            onehot0, train=False, spmm_args=self._spmm_args)
         self.opt_state = self.tx.init(self.variables["params"])
         self._step = self._build_step()
         self._eval = self._build_eval()

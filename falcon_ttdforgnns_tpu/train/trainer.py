@@ -864,10 +864,9 @@ class SageTrainer:
             )
             if use_blocked:
                 from ..ops.spmm_blocked import (build_window_tiles,
-                                                chunk_tiles_host)
-                on_tpu = jax.default_backend() == "tpu"
-                tile_e = 4096 if on_tpu else 256    # interpret: small tiles
-                ct = 512 if on_tpu else 8
+                                                chunk_tiles_host,
+                                                default_blocked_tiling)
+                tile_e, ct = default_blocked_tiling()
                 ts = build_window_tiles(src.astype(np.int64),
                                         dst.astype(np.int64), n,
                                         tile=tile_e, dst_buckets=16,
