@@ -56,7 +56,9 @@ def partition_edges_by_block(src: np.ndarray, dst: np.ndarray, num_nodes: int,
     # graphs without a balancing reorder the waste can be several x E —
     # surface it rather than silently allocate
     pad_ratio = num_shards * num_shards * e_max / max(len(src), 1)
-    if pad_ratio > 4.0:
+    # tiny graphs inflate the ratio via pad_multiple rounding alone — only
+    # warn when the waste is real memory
+    if pad_ratio > 4.0 and len(src) > 1_000_000:
         import warnings
         warnings.warn(
             f"ring-SpMM bucket padding is {pad_ratio:.1f}x the edge count "
