@@ -765,9 +765,6 @@ class SageTrainer:
             return self.infer_full_sharded()
         ds, cfg = self.ds, self.cfg
         n = ds.num_nodes
-        src, dst = ds.graph.to_coo()
-        src_d, dst_d = jnp.asarray(src), jnp.asarray(dst)
-        in_deg = jnp.asarray(ds.graph.degrees.astype(np.float32))
 
         mat = jax.jit(lambda v, ids: self.model.apply(
             v, ids, method=SAGE.materialize_features))
@@ -777,6 +774,44 @@ class SageTrainer:
         ]
         h = jnp.asarray(np.concatenate(chunks, axis=0)[:n])
 
+        if cfg.spmm == "blocked":
+            # share the evaluate() tiling (built lazily there)
+            from ..ops.spmm_blocked import (build_window_tiles,
+                                            chunk_tiles_host,
+                                            default_blocked_tiling,
+                                            spmm_sum_blocked_dev)
+            if not hasattr(self, "_eval_blocked_tile"):
+                src, dst = ds.graph.to_coo()
+                tile_e, ct = default_blocked_tiling()
+                ts = build_window_tiles(src.astype(np.int64),
+                                        dst.astype(np.int64), n,
+                                        tile=tile_e, dst_buckets=16,
+                                        chunk_tiles=ct)
+                self._eval_blocked_tile = ts.tile
+                self._infer_blocked_args = tuple(
+                    jnp.asarray(a) for a in chunk_tiles_host(ts, ct))
+            targs = getattr(self, "_infer_blocked_args",
+                            self._eval_args[:4] if hasattr(self, "_eval_args")
+                            else None)
+            T = self._eval_blocked_tile
+            interp = jax.default_backend() != "tpu"
+            deg = jnp.asarray(ds.graph.degrees.astype(np.float32))
+
+            fwd_b = jax.jit(
+                lambda v, h, w2, i2, d2, ww2, deg, li: self.model.apply(
+                    v, h,
+                    spmm_sum_blocked_dev(h, w2, i2, d2, ww2, T, n,
+                                         interpret=interp)
+                    / jnp.maximum(deg, 1.0)[:, None],
+                    li, method=SAGE.apply_conv),
+                static_argnums=(7,))
+            for li in range(cfg.num_layers):
+                h = fwd_b(self.variables, h, *targs, deg, li)
+            return np.asarray(h)
+
+        src, dst = ds.graph.to_coo()
+        src_d, dst_d = jnp.asarray(src), jnp.asarray(dst)
+        in_deg = jnp.asarray(ds.graph.degrees.astype(np.float32))
         # edge arrays must be ARGUMENTS, not closure captures — jit bakes
         # captured arrays into the program as constants (60M-edge graphs
         # blow up the compile payload)

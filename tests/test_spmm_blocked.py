@@ -153,3 +153,22 @@ def test_trainer_eval_blocked_matches_xla():
     ab = tr_b.evaluate()
     for k in ax:
         assert abs(ax[k] - ab[k]) < 1e-6, (k, ax, ab)
+
+
+def test_infer_full_blocked_matches_xla():
+    """infer_full with --spmm blocked returns the same logits as the XLA
+    layer-wise path (same model state)."""
+    from falcon_ttdforgnns_tpu.graph import synthetic_dataset
+    from falcon_ttdforgnns_tpu.train import SageTrainer, TrainConfig
+    ds = synthetic_dataset(num_nodes=500, avg_degree=5, num_classes=4,
+                           feat_dim=8, seed=2)
+    base = dict(batch_size=16, fanouts=(2, 2), epochs=1, dropout=0.0,
+                hidden_dim=8, num_layers=2, use_tt=True, tt_ranks=(4, 4),
+                weight_dist="normal", eval_every=100, log_every=1000,
+                seed=0, skip_eval=True, inference_chunk=128)
+    tx = SageTrainer(ds, TrainConfig(**base, spmm="xla"))
+    tb = SageTrainer(ds, TrainConfig(**base, spmm="blocked"))
+    tb.variables = tx.variables
+    lx = tx.infer_full()
+    lb = tb.infer_full()
+    np.testing.assert_allclose(lb, lx, rtol=1e-4, atol=1e-4)
