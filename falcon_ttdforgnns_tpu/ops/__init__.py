@@ -5,6 +5,7 @@ from .tt_lookup import (
     tt_lookup,
     tt_lookup_gather,
     tt_lookup_grouped,
+    tt_lookup_grouped_sorted,
     tt_embedding_bag,
     tt_core_grads,
     tt_materialize_rows,

@@ -110,20 +110,12 @@ def tt_lookup_gather(shapes: TTShapes, cores: Cores, indices: jax.Array) -> jax.
     return g.reshape(indices.shape[0], shapes.embedding_dim)
 
 
-def tt_lookup_grouped(shapes: TTShapes, cores: Cores, indices: jax.Array) -> jax.Array:
-    """Efficient_TT-style forward with group de-duplication.
-
-    group = idx // p_last identifies the shared prefix (i_0..i_{T-2}); the
-    prefix partial product is computed once per *unique* group in the batch
-    and broadcast back (`Efficient_TT/efficient_tt_cuda.cu:159-241`).
-    Static shapes: unique is padded to B.
-    """
-    idx = indices.astype(jnp.int32)
-    B = idx.shape[0]
-    group = idx // shapes.p_last
-    last = idx % shapes.p_last
-
-    ugroups, inv = jnp.unique(group, size=B, fill_value=0, return_inverse=True)
+def _grouped_core(shapes: TTShapes, cores: Cores, last: jax.Array,
+                  ugroups: jax.Array, inv: jax.Array) -> jax.Array:
+    """Shared tail of the grouped forward: unique-prefix chain + broadcast
+    + last-core contraction.  ``ugroups``/``inv`` come from either a device
+    ``jnp.unique`` (unsorted input) or a compare+cumsum (sorted input)."""
+    B = last.shape[0]
     # prefix partial for each unique group: (B, q0*..*q_{T-2}, r_{T-1})
     udigits = tuple(
         (ugroups // (s // shapes.p_last)) % p
@@ -136,6 +128,86 @@ def tt_lookup_grouped(shapes: TTShapes, cores: Cores, indices: jax.Array) -> jax
     tail = tail.reshape(B, tail.shape[1], -1)
     out = jnp.einsum("bdr,brq->bdq", prefix, tail, preferred_element_type=jnp.float32)
     return out.reshape(B, shapes.embedding_dim)
+
+
+def tt_lookup_grouped(shapes: TTShapes, cores: Cores, indices: jax.Array) -> jax.Array:
+    """Efficient_TT-style forward with group de-duplication.
+
+    group = idx // p_last identifies the shared prefix (i_0..i_{T-2}); the
+    prefix partial product is computed once per *unique* group in the batch
+    and broadcast back (`Efficient_TT/efficient_tt_cuda.cu:159-241`).
+    Static shapes: unique is padded to B.
+    """
+    idx = indices.astype(jnp.int32)
+    B = idx.shape[0]
+    group = idx // shapes.p_last
+    ugroups, inv = jnp.unique(group, size=B, fill_value=0, return_inverse=True)
+    return _grouped_core(shapes, cores, idx % shapes.p_last, ugroups, inv)
+
+
+def _sorted_unique(values: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(uvals, inv) by *run* dedup without a device sort: a neighbor
+    compare + cumsum ranks each run of equal adjacent values, and a scatter
+    collects one representative per run.  Padded slots (beyond the number
+    of runs) hold 0.  For a sorted input this equals
+    ``jnp.unique(size=B, fill_value=0)``; for arbitrary input it is still
+    *correct* downstream (every element's slot holds exactly its own value;
+    distinct values never share a slot) — it merely dedups only adjacent
+    duplicates.  O(B) VPU work vs the O(B log B) device sort that made
+    grouped lose on TPU (docs/PERFORMANCE.md round-1 table)."""
+    B = values.shape[0]
+    is_new = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (values[1:] != values[:-1]).astype(jnp.int32)])
+    inv = jnp.cumsum(is_new) - 1  # (B,) slot of each element's run
+    # all writers of a slot carry the same value -> max is deterministic
+    uvals = jnp.zeros((B,), values.dtype).at[inv].max(values)
+    return uvals, inv
+
+
+def tt_lookup_grouped_sorted(shapes: TTShapes, cores: Cores,
+                             indices: jax.Array,
+                             ucap: Optional[int] = None) -> jax.Array:
+    """Grouped forward for *host-sorted* indices: the sampler-side sorted
+    emission revives the Efficient_TT prefix dedup on TPU by replacing the
+    device sort (`jnp.unique`) with a compare+cumsum over the already-
+    sorted batch.  Callers are responsible for the sort (host-side, where
+    it overlaps device compute via prefetch) and for un-sorting the output
+    if positional order matters (one (B, D) gather).
+
+    ``ucap`` is the static unique-group capacity, the actual FLOP lever:
+    for a sorted batch the number of prefix runs is bounded by
+    prod(p[:-1]) — 17,500 for the products shapes vs B=918K — so the
+    prefix chain runs over ``ucap`` slots instead of B (the sort-based
+    :func:`tt_lookup_grouped` must pad unique to B because it cannot bound
+    the run count of arbitrary input).  With ``ucap=None`` the capacity is
+    B (always safe).  A batch with more than ``ucap`` runs (only possible
+    when the input is NOT sorted) clamps the overflow into the last slot —
+    wrong values, so callers passing ucap must honor the sorted contract;
+    without ucap, results match :func:`tt_lookup_grouped` for ANY input
+    (run-dedup is unconditionally correct — see :func:`_sorted_unique`).
+    """
+    idx = indices.astype(jnp.int32)
+    B = idx.shape[0]
+    group = idx // shapes.p_last
+    if ucap is None or ucap >= B:
+        ugroups, inv = _sorted_unique(group)
+    else:
+        is_new = jnp.concatenate([
+            jnp.ones((1,), jnp.int32),
+            (group[1:] != group[:-1]).astype(jnp.int32)])
+        inv = jnp.minimum(jnp.cumsum(is_new) - 1, ucap - 1)
+        ugroups = jnp.zeros((ucap,), group.dtype).at[inv].max(group)
+    return _grouped_core(shapes, cores, idx % shapes.p_last, ugroups, inv)
+
+
+def grouped_ucap(shapes: TTShapes, block: int = 8) -> int:
+    """Safe static unique-prefix capacity for sorted batches:
+    prod(p[:-1]) rounded up to ``block`` (sublane alignment)."""
+    cap = 1
+    for p in shapes.p_shapes[:-1]:
+        cap *= p
+    return -(-cap // block) * block
 
 
 # ---------------------------------------------------------------------------
@@ -177,7 +249,8 @@ def _partials(shapes: TTShapes, cores: Cores, digits: Sequence[jax.Array]):
 
 
 def tt_core_grads(shapes: TTShapes, cores: Cores, indices: jax.Array,
-                  d_out: jax.Array, dedup: bool = True) -> Tuple[jax.Array, ...]:
+                  d_out: jax.Array, dedup: bool = True,
+                  sorted_hint: bool = False) -> Tuple[jax.Array, ...]:
     """Dense per-core gradients of a TT lookup.
 
     With ``dedup=True``, d_out is first segment-summed over duplicate
@@ -185,12 +258,20 @@ def tt_core_grads(shapes: TTShapes, cores: Cores, indices: jax.Array,
     `Efficient_TT/efficient_tt_cuda.cu:970-987`), then the standard two
     transposed GEMMs per core (`FBTT/tt_embeddings_cuda.cu:421-654`) are
     applied on unique indices and scatter-added deterministically.
+
+    ``sorted_hint=True`` asserts the indices are ascending (sampler-side
+    sorted emission): the unique-reduce then uses a compare+cumsum instead
+    of the device sort inside ``jnp.unique``.
     """
     idx = indices.astype(jnp.int32)
     B = idx.shape[0]
 
     if dedup:
-        uidx, inv = jnp.unique(idx, size=B, fill_value=0, return_inverse=True)
+        if sorted_hint:
+            uidx, inv = _sorted_unique(idx)
+        else:
+            uidx, inv = jnp.unique(idx, size=B, fill_value=0,
+                                   return_inverse=True)
         d_red = jax.ops.segment_sum(d_out, inv, num_segments=B)
         # padded unique slots receive zero gradient; scatters of zeros are no-ops
         idx, d_out = uidx, d_red
@@ -220,12 +301,17 @@ def tt_core_grads(shapes: TTShapes, cores: Cores, indices: jax.Array,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def tt_lookup(shapes: TTShapes, grouped: bool, cores: Cores, indices: jax.Array) -> jax.Array:
+def tt_lookup(shapes: TTShapes, grouped, cores: Cores, indices: jax.Array) -> jax.Array:
     """Differentiable TT row lookup: (B,) int32 -> (B, D).
 
-    ``grouped=True`` uses the Efficient_TT group-dedup forward. The custom
-    VJP implements the unique-reduced backward; ``indices`` gets no gradient.
+    ``grouped`` selects the forward: ``False`` plain gather chain, ``True``
+    the Efficient_TT group-dedup forward (device sort), ``"sorted"`` the
+    group-dedup forward for host-sorted batches (no device sort — forward
+    AND backward dedup run on compare+cumsum).  The custom VJP implements
+    the unique-reduced backward; ``indices`` gets no gradient.
     """
+    if grouped == "sorted":
+        return tt_lookup_grouped_sorted(shapes, cores, indices)
     if grouped:
         return tt_lookup_grouped(shapes, cores, indices)
     return tt_lookup_gather(shapes, cores, indices)
@@ -238,7 +324,8 @@ def _tt_lookup_fwd(shapes, grouped, cores, indices):
 
 def _tt_lookup_bwd(shapes, grouped, res, d_out):
     cores, indices = res
-    grads = tt_core_grads(shapes, cores, indices, d_out, dedup=True)
+    grads = tt_core_grads(shapes, cores, indices, d_out, dedup=True,
+                          sorted_hint=grouped == "sorted")
     return grads, None
 
 

@@ -10,7 +10,10 @@ effect — the reorder thesis, SURVEY §2.2).
 Timing: K data-dependent iterations inside one jitted fori_loop (the axon
 relay returns from block_until_ready early; see docs/PERFORMANCE.md).
 """
+import sys
 import time
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 
 import numpy as np
 

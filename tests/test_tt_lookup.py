@@ -76,6 +76,40 @@ class TestForward:
         b = tt_lookup_grouped(shapes, cores, jnp.asarray(idx))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
 
+    def test_grouped_sorted_matches_full_table(self):
+        """Sorted-emission grouped path: full parity on a host-sorted batch
+        (the sampler-side sort that removes the device sort from dedup)."""
+        from falcon_ttdforgnns_tpu.ops.tt_lookup import tt_lookup_grouped_sorted
+        shapes, cores = make_case()
+        full = np.asarray(tt_to_full(shapes, cores))
+        idx = np.sort(np.random.default_rng(8).integers(0, shapes.num_embeddings, 512) % 60)
+        out = tt_lookup_grouped_sorted(shapes, cores, jnp.asarray(idx))
+        np.testing.assert_allclose(np.asarray(out), full[idx], rtol=1e-5, atol=1e-5)
+
+    def test_grouped_sorted_ucap(self):
+        """Static unique capacity prod(p[:-1]) (the FLOP lever): parity on a
+        sorted batch spanning every group."""
+        from falcon_ttdforgnns_tpu.ops.tt_lookup import (
+            tt_lookup_grouped_sorted, grouped_ucap)
+        shapes, cores = make_case()
+        full = np.asarray(tt_to_full(shapes, cores))
+        cap = grouped_ucap(shapes)
+        assert cap < 512  # the test must actually exercise ucap < B
+        idx = np.sort(np.random.default_rng(10).integers(
+            0, shapes.num_embeddings, 512))
+        out = tt_lookup_grouped_sorted(shapes, cores, jnp.asarray(idx), ucap=cap)
+        np.testing.assert_allclose(np.asarray(out), full[idx], rtol=1e-5, atol=1e-5)
+
+    def test_grouped_sorted_correct_even_unsorted(self):
+        """Run-dedup is unconditionally correct: unsorted input loses dedup,
+        never correctness."""
+        from falcon_ttdforgnns_tpu.ops.tt_lookup import tt_lookup_grouped_sorted
+        shapes, cores = make_case()
+        idx = np.random.default_rng(9).integers(0, shapes.num_embeddings, 256)
+        a = tt_lookup_gather(shapes, cores, jnp.asarray(idx))
+        b = tt_lookup_grouped_sorted(shapes, cores, jnp.asarray(idx))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
     def test_two_and_four_cores(self):
         for p, q, r in [((16, 16), (8, 8), (12,)), ((4, 5, 6, 7), (2, 2, 2, 2), (5, 6, 7))]:
             shapes, cores = make_case(p=p, q=q, ranks=r)
@@ -114,6 +148,36 @@ class TestBackward:
         g_dense = jax.grad(loss_dense)(cores)
         for a, b in zip(g_custom, g_dense):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+    def test_sorted_vjp_matches_dense_reference(self):
+        """grouped='sorted' custom VJP (compare+cumsum dedup in fwd AND bwd)
+        vs autodiff through the materialized table, on a sorted duplicated
+        batch."""
+        shapes, cores = make_case()
+        rng = np.random.default_rng(11)
+        idx = jnp.asarray(np.sort(rng.integers(0, 40, 256)))
+        g = jnp.asarray(rng.normal(size=(256, shapes.embedding_dim)).astype(np.float32))
+
+        def loss_sorted(cs):
+            return jnp.sum(tt_lookup(shapes, "sorted", cs, idx) * g)
+
+        def loss_dense(cs):
+            return jnp.sum(jnp.take(tt_to_full(shapes, cs), idx, axis=0) * g)
+
+        g_sorted = jax.grad(loss_sorted)(cores)
+        g_dense = jax.grad(loss_dense)(cores)
+        for a, b in zip(g_sorted, g_dense):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+    def test_grads_sorted_hint_on_unsorted_still_correct(self):
+        shapes, cores = make_case()
+        rng = np.random.default_rng(12)
+        idx = jnp.asarray(rng.integers(0, 20, 256))  # duplicated, unsorted
+        g = jnp.asarray(rng.normal(size=(256, shapes.embedding_dim)).astype(np.float32))
+        a = tt_core_grads(shapes, cores, idx, g, dedup=True, sorted_hint=True)
+        b = tt_core_grads(shapes, cores, idx, g, dedup=False)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-4)
 
     def test_grads_with_duplicates(self):
         shapes, cores = make_case()
