@@ -21,10 +21,12 @@ case "$PRESET" in
       --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 5,5,4 \
       --partition 128 --use-cached --cache-size 100000 \
       --batch 1024 --fan-out 5,10,15 --epochs 2 ;;
-  final-p2)           # RCMK reorder (README.md:101)
+  final-p2)           # RCMK reorder (README.md:101); --sparse like the
+    # reference final presets (run_script.sh:432-453) — and it is the
+    # measured-fastest step here (fused Pallas SGD 33.5 ms vs routed 35.5)
     "${PY[@]}" --model sage --dataset ogbn-products --use-tt \
       --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 5,5,4 \
-      --partition -2 --batch 1024 --fan-out 5,10,15 --epochs 2 ;;
+      --partition -2 --sparse --batch 1024 --fan-out 5,10,15 --epochs 2 ;;
   gcn)                # full-graph GCN arxiv (run_script.sh gcn preset)
     "${PY[@]}" --model gcn --dataset ogbn-arxiv --use-tt \
       --tt-rank 16,16 --p-shapes 50,60,60 --q-shapes 8,4,4 \
