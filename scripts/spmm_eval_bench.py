@@ -10,6 +10,7 @@ effect — the reorder thesis, SURVEY §2.2).
 Timing: K data-dependent iterations inside one jitted fori_loop (the axon
 relay returns from block_until_ready early; see docs/PERFORMANCE.md).
 """
+import os
 import sys
 import time
 
@@ -121,24 +122,36 @@ def main():
     src_np = g.indices.astype(np.int32)
     print(f"E={len(src_np)}", flush=True)
 
-    perm = rcmk_reorder(g)
-    order = np.argsort(perm[dst_np], kind="stable")
-    src_r = perm[src_np][order].astype(np.int32)
-    dst_r = perm[dst_np][order].astype(np.int32)
+    only = os.environ.get("ONLY", "chunked,blocked,tiled").split(",")
+    if "chunked" in only or "tiled" in only:  # RCM costs minutes at 2.45M nodes
+        perm = rcmk_reorder(g)
+        order = np.argsort(perm[dst_np], kind="stable")
+        src_r = perm[src_np][order].astype(np.int32)
+        dst_r = perm[dst_np][order].astype(np.int32)
 
     key = jax.random.PRNGKey(0)
     h = jax.jit(lambda k: jax.random.normal(k, (N, D), jnp.float32))(key)
     h = jax.block_until_ready(h)
 
-    for tag, (s_np, d_np) in (("raw", (src_np, dst_np)),
-                              ("rcm", (src_r, dst_r))):
-        s, d = jnp.asarray(s_np), jnp.asarray(d_np)
-        run_chunked(s, d, h, tag, jnp.float32)
-        run_chunked(s, d, h, tag, jnp.bfloat16)
+    # ONLY=blocked (or chunked/tiled, comma-separated) focuses the run —
+    # the chunked/tiled numbers were measured pre-outage (PERFORMANCE.md);
+    # the window-blocked kernel is the unmeasured one.
+    if "chunked" in only:
+        for tag, (s_np, d_np) in (("raw", (src_np, dst_np)),
+                                  ("rcm", (src_r, dst_r))):
+            s, d = jnp.asarray(s_np), jnp.asarray(d_np)
+            run_chunked(s, d, h, tag, jnp.float32)
+            run_chunked(s, d, h, tag, jnp.bfloat16)
+            del s, d
+    elif "anchor" in only:  # one chunked-f32 pass as the comparison anchor
+        s, d = jnp.asarray(src_np), jnp.asarray(dst_np)
+        run_chunked(s, d, h, "raw", jnp.float32)
         del s, d
-    run_blocked(src_np, dst_np, h, "raw")
-    run_tiled(src_np, dst_np, h, "raw")
-    run_tiled(src_r, dst_r, h, "rcm")
+    if "blocked" in only:
+        run_blocked(src_np, dst_np, h, "raw")
+    if "tiled" in only:
+        run_tiled(src_np, dst_np, h, "raw")
+        run_tiled(src_r, dst_r, h, "rcm")
 
 
 if __name__ == "__main__":
