@@ -25,8 +25,10 @@ from falcon_ttdforgnns_tpu.graph import synthetic_dataset
 from falcon_ttdforgnns_tpu.graph.reorder import rcmk_reorder
 from falcon_ttdforgnns_tpu.ops.segment import spmm_sum_chunked
 
-N, D = 2_449_029, 256
-K = 4
+N = int(os.environ.get("PROBE_N", "2449029"))
+D = int(os.environ.get("PROBE_D", "256"))
+DEG = int(os.environ.get("PROBE_DEG", "25"))
+K = int(os.environ.get("PROBE_K", "4"))
 
 
 def timed(name, fn, *args):
@@ -114,7 +116,7 @@ def run_blocked(src_np, dst_np, h, tag, dtypes=(jnp.float32, jnp.bfloat16)):
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    ds = synthetic_dataset(num_nodes=N, avg_degree=25, num_classes=47,
+    ds = synthetic_dataset(num_nodes=N, avg_degree=DEG, num_classes=47,
                            feat_dim=100, seed=0)
     g = ds.graph
     deg = np.diff(g.indptr)
