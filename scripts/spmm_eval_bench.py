@@ -32,14 +32,16 @@ K = int(os.environ.get("PROBE_K", "4"))
 
 
 def timed(name, fn, *args):
+    # float() forces a host readback — the relay's block_until_ready can
+    # return before execution finishes (docs/PERFORMANCE.md methodology)
     t0 = time.time()
-    out = jax.block_until_ready(fn(*args))
+    chk = float(fn(*args))
     compile_s = time.time() - t0
     t0 = time.time()
-    out = jax.block_until_ready(fn(*args))
+    chk = float(fn(*args))
     per = (time.time() - t0) / K
     print(f"{name}: {per*1e3:.0f} ms/pass (compile+1st {compile_s:.0f}s, "
-          f"chk {float(out):.3e})", flush=True)
+          f"chk {chk:.3e})", flush=True)
 
 
 def run_chunked(src, dst, h, tag, dtype):
