@@ -18,11 +18,25 @@ Windows are addressed at half-window granularity through a scalar-
 prefetched block index (``PrefetchScalarGridSpec``), so a tile's window
 never needs alignment stronger than ``T/2``.
 
-This replaces the reference hot loop's DGL SpMM (`gnn_model.py:206-217`)
-for the full-graph/eval path; the tiled one-hot kernel
-(ops/spmm_pallas.py) stays for block-dense workloads.  Like that kernel
-it is opt-in until measured on hardware (built during the round-2 relay
-outage; see docs/PERFORMANCE.md "known gaps").
+This was built as a candidate replacement for the reference hot loop's
+DGL SpMM (`gnn_model.py:206-217`) on the full-graph/eval path.  **Chip
+measurement killed it** (docs/PERFORMANCE.md "window-blocked SpMM:
+measured dead end"):
+
+  1. Mosaic cannot lower the window gather: ``tpu.dynamic_gather`` only
+     supports a source that fits ONE vreg along the gather dimension
+     (8 sublanes / 128 lanes); a 4096-row window spans 512 vregs.
+  2. Even with a expressible gather (a transposed 128-lane-window
+     variant verified to compile), the design cannot win: it trades the
+     baseline's sorted-dst segment-sum (sequential reduction) for a
+     random row scatter-add, and that scatter ALONE measures 3.2 s/pass
+     at products scale — more than the entire 2.5 s chunked-XLA SpMM it
+     was meant to beat.  The random-row access wall is symmetric; moving
+     it from the gather side to the scatter side buys nothing.
+
+The module stays for the measurement record and CPU (interpret-mode)
+wiring-parity tests; :func:`check_blocked_supported` turns the cryptic
+Mosaic compile error into an actionable one on real TPUs.
 """
 
 from __future__ import annotations
@@ -160,6 +174,22 @@ def _gather_msgs(h_pad: jax.Array, win: jax.Array, idx: jax.Array,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(win, h_pad, h_pad, idx.reshape(-1), w.reshape(-1))
+
+
+def check_blocked_supported(backend: Optional[str] = None) -> None:
+    """Raise early (with the measured explanation) instead of letting
+    Mosaic fail with "Multiple source vregs along gather dimension" at
+    compile time on a real chip."""
+    if backend is None:
+        backend = jax.default_backend()
+    if backend == "tpu":
+        raise ValueError(
+            "--spmm blocked cannot run on TPU hardware: Mosaic's "
+            "dynamic_gather is limited to single-vreg sources, and the "
+            "design loses regardless — its random scatter-add alone "
+            "measures 3.2 s/pass at products scale vs 2.5 s for the whole "
+            "default chunked-XLA SpMM (docs/PERFORMANCE.md 'window-blocked "
+            "SpMM: measured dead end').  Use --spmm xla (default).")
 
 
 def default_blocked_tiling():

@@ -139,6 +139,9 @@ class FullGraphTrainer:
             raise ValueError("--spmm blocked serves GCN; GAT attention is "
                              "per-step-weighted (static tilings cannot "
                              "carry the softmax weights)")
+        if use_blocked:
+            from ..ops.spmm_blocked import check_blocked_supported
+            check_blocked_supported()  # measured dead end on real TPUs
         from ..ops.spmm_blocked import default_blocked_tiling
         tile_d, ct = default_blocked_tiling()
         self._blocked_tile = tile_d if use_blocked else 0

@@ -777,9 +777,11 @@ class SageTrainer:
         if cfg.spmm == "blocked":
             # share the evaluate() tiling (built lazily there)
             from ..ops.spmm_blocked import (build_window_tiles,
+                                            check_blocked_supported,
                                             chunk_tiles_host,
                                             default_blocked_tiling,
                                             spmm_sum_blocked_dev)
+            check_blocked_supported()
             if not hasattr(self, "_eval_blocked_tile"):
                 src, dst = ds.graph.to_coo()
                 tile_e, ct = default_blocked_tiling()
@@ -887,8 +889,12 @@ class SageTrainer:
         # segment-matmul kernel (ops/spmm_pallas.py); "blocked" into the
         # window-blocked VMEM-gather kernel (ops/spmm_blocked.py).
         use_tiled = cfg.spmm == "pallas" and jax.default_backend() == "tpu"
-        # blocked runs everywhere: interpret-mode off-TPU (testable wiring)
+        # blocked: interpret-mode off-TPU only (wiring-parity tests); on
+        # real TPUs it raises — measured dead end (docs/PERFORMANCE.md)
         use_blocked = cfg.spmm == "blocked"
+        if use_blocked:
+            from ..ops.spmm_blocked import check_blocked_supported
+            check_blocked_supported()
         if not hasattr(self, "_eval_args"):
             src, dst = ds.graph.to_coo()
             common = (

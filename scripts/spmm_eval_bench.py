@@ -89,6 +89,10 @@ def run_tiled(src_np, dst_np, h, tag):
 
 
 def run_blocked(src_np, dst_np, h, tag, dtypes=(jnp.float32, jnp.bfloat16)):
+    # HISTORICAL: dies in Mosaic on real TPUs ("Multiple source vregs
+    # along gather dimension") — the run that established the negative
+    # result (docs/PERFORMANCE.md "window-blocked SpMM: measured dead
+    # end").  Runnable off-TPU in interpret mode only.
     from falcon_ttdforgnns_tpu.ops.spmm_blocked import (
         build_window_tiles, chunk_tiles_host, spmm_sum_blocked_dev)
     T, CT = 4096, 512

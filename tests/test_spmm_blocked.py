@@ -172,3 +172,15 @@ def test_infer_full_blocked_matches_xla():
     lx = tx.infer_full()
     lb = tb.infer_full()
     np.testing.assert_allclose(lb, lx, rtol=1e-4, atol=1e-4)
+
+
+def test_blocked_raises_on_tpu_backend():
+    """On real TPUs the blocked path must fail with the measured
+    explanation, not a cryptic Mosaic 'multiple source vregs' compile
+    error (docs/PERFORMANCE.md 'window-blocked SpMM: measured dead
+    end')."""
+    from falcon_ttdforgnns_tpu.ops.spmm_blocked import (
+        check_blocked_supported)
+    with pytest.raises(ValueError, match="cannot run on TPU"):
+        check_blocked_supported(backend="tpu")
+    check_blocked_supported(backend="cpu")  # interpret mode stays open
