@@ -85,8 +85,16 @@ def main():
     timed("pallas fused fwd",
           chain(lambda c, i: tt_lookup_pallas(shapes, c, i, block=BLK)),
           cores, idx)
-    timed("grouped (device sort)",
-          chain(lambda c, i: tt_lookup_grouped(shapes, c, i)), cores, idx)
+    if B <= (1 << 17):
+        # the device-sort path materializes a padded (B, r, q, r') HBM
+        # intermediate — 8x tile-padding inflation OOMs 16 GB at 918K ids
+        # (docs/PERFORMANCE.md); its round-1 loss was measured at 65K
+        timed("grouped (device sort)",
+              chain(lambda c, i: tt_lookup_grouped(shapes, c, i)), cores, idx)
+    else:
+        print(f"grouped (device sort): skipped at B={B} (padded HBM "
+              f"intermediate OOMs; measured loser at 65K — 20 ms)",
+              flush=True)
     timed("grouped sorted+ucap",
           chain(lambda c, i: tt_lookup_grouped_sorted(shapes, c, i, ucap=cap)),
           cores, idx_sorted)
