@@ -190,7 +190,7 @@ def main(argv=None):
         from .utils.tuner import tune_tt_rank
 
         def tput_of(ranks):
-            cfg_epochs, args_epochs = 1, args.epochs
+            args_epochs = args.epochs
             args.epochs = 1
             try:
                 res = run_once(ranks)

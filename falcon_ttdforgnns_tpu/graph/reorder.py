@@ -311,6 +311,12 @@ def reorder_permutation(graph: CSRGraph, partition: int,
     return None
 
 
+#: In-process memo over the disk cache: the autotuner re-reorders the same
+#: graph every trial, and at products scale each trial would otherwise
+#: re-load a 2.45M-entry permutation from disk.
+_PERM_MEMO = None
+
+
 def reorder_permutation_cached(graph: CSRGraph, partition: int,
                                cache_dir: str = "./reorder_cache",
                                levels: Optional[Sequence[int]] = None,
@@ -320,16 +326,28 @@ def reorder_permutation_cached(graph: CSRGraph, partition: int,
     import hashlib
     import os
 
+    global _PERM_MEMO
+    if _PERM_MEMO is None:
+        from ..utils.host_cache import LRUCache
+
+        _PERM_MEMO = LRUCache(8)
+
     if partition == 0:
         return reorder_permutation(graph, partition, levels, seed)
     key = hashlib.sha1(
         f"{graph.num_nodes}:{graph.num_edges}:{partition}:{levels}:{seed}"
         .encode() + graph.indptr[:1024].tobytes()).hexdigest()[:16]
+    memoized = _PERM_MEMO.get(key)
+    if memoized is not None:
+        return memoized
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"perm_{key}.npy")
     if os.path.exists(path):
-        return np.load(path)
+        perm = np.load(path)
+        _PERM_MEMO.put(key, perm)
+        return perm
     perm = reorder_permutation(graph, partition, levels, seed)
     if perm is not None:
         np.save(path, perm)
+        _PERM_MEMO.put(key, perm)
     return perm

@@ -95,7 +95,12 @@ def chain(fn, n_idx):
         def body(i, carry):
             s, off = carry
             out = fn(h, (idx + off) % n_idx)
-            return (s + out.reshape(-1)[0].astype(jnp.float32), off + 1)
+            # Reduce a strided sample spanning the whole output so XLA's
+            # simplifier can't fold slice-of-gather into a 1-element gather
+            # and DCE the measured work (a single [0] element would allow
+            # exactly that).
+            chk = out.reshape(-1)[::4096].astype(jnp.float32).sum()
+            return (s + chk, off + 1)
         s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0), jnp.int32(0)))
         return s
     return loop

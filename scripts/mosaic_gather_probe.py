@@ -21,6 +21,7 @@ def kern(win_ref, idx_ref, o_ref):
 def run(win, idx):
     return pl.pallas_call(
         kern, out_shape=jax.ShapeDtypeStruct((D, W), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
     )(win, idx)
 
 win = jnp.arange(D * W, dtype=jnp.float32).reshape(D, W)

@@ -94,7 +94,13 @@ def run_blocked(src_np, dst_np, h, tag, dtypes=(jnp.float32, jnp.bfloat16)):
     # result (docs/PERFORMANCE.md "window-blocked SpMM: measured dead
     # end").  Runnable off-TPU in interpret mode only.
     from falcon_ttdforgnns_tpu.ops.spmm_blocked import (
-        build_window_tiles, chunk_tiles_host, spmm_sum_blocked_dev)
+        build_window_tiles, check_blocked_supported, chunk_tiles_host,
+        spmm_sum_blocked_dev)
+    try:
+        check_blocked_supported()
+    except Exception as e:  # degrade gracefully instead of dying in Mosaic
+        print(f"blocked-{tag}: SKIPPED ({e})", flush=True)
+        return
     T, CT = 4096, 512
     t0 = time.time()
     ts = build_window_tiles(src_np.astype(np.int64), dst_np.astype(np.int64),
