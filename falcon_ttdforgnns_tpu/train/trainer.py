@@ -253,8 +253,8 @@ class SageTrainer:
         if getattr(self, "_nshard_train", False):
             from ..parallel.node_sharding import make_node_sharded_full_step
             self._full_step_fn = make_node_sharded_full_step(
-                self.model, self.tx, self._nshard_mesh, self.ds.num_nodes,
-                self._nshard_pad, cfg.num_layers)
+                self.model, self.tx, self._nshard_mesh, cfg.num_layers,
+                self._nshard_layout.max_chunks, self._nshard_layout.chunk)
         if cfg.mode == "puregpu" and cfg.cache_size > 0 and logger:
             logger.warning("--mode puregpu samples on device; host LFU "
                            "frequencies are unavailable (cache populate "
@@ -306,22 +306,27 @@ class SageTrainer:
 
         # full-neighbor training
         if cfg.node_shard and jax.device_count() > 1:
-            # sharded placement only — per-bucket blocks are int32-safe
-            # (local node ids; bucket sizes < 2^31 by construction)
-            from ..parallel.node_sharding import partition_edges_by_block
+            # sharded placement only — the ragged layout stores O(E + S^2 *
+            # chunk) edges with block-LOCAL (int32-safe) indices, per-shard
+            # totals balanced by in-degree so papers100M skew cannot blow
+            # up memory (VERDICT r2 item 2)
+            from ..parallel.node_sharding import partition_edges_ragged
             src, dst = g.to_coo()
             n_dev = (cfg.num_chips if cfg.num_chips > 0
                      else jax.device_count())
-            src_b, dst_b, w_b, block = partition_edges_by_block(
+            lay = partition_edges_ragged(
                 src.astype(np.int64), dst.astype(np.int64),
                 g.num_nodes, n_dev)
-            self._nshard_blocks = (jnp.asarray(src_b), jnp.asarray(dst_b),
-                                   jnp.asarray(w_b))
-            n_pad = block * n_dev
-            deg_pad = np.ones((n_pad,), np.float32)
-            deg_pad[:g.num_nodes] = g.degrees
+            self._nshard_layout = lay
+            self._nshard_dev = (jnp.asarray(lay.src_r),
+                                jnp.asarray(lay.dst_r),
+                                jnp.asarray(lay.w_r),
+                                jnp.asarray(lay.chunk_offs),
+                                jnp.asarray(lay.node_at))
+            deg_pad = np.ones((lay.num_rows_padded,), np.float32)
+            deg_pad[lay.row_of] = g.degrees
             self._nshard_deg = jnp.asarray(deg_pad)
-            self._nshard_pad = n_pad
+            self._nshard_pad = lay.num_rows_padded
             return
 
         guard_int32("--node-shard (per-shard edge blocks stay below 2^31)")
@@ -724,10 +729,11 @@ class SageTrainer:
             labels = jnp.asarray(self.ds.labels[pick].astype(np.int32))
             rng, sub = jax.random.split(rng)
             if getattr(self, "_nshard_train", False):
-                sb, db, wb = self._nshard_blocks
+                seed_rows = jnp.asarray(
+                    self._nshard_layout.row_of[pick].astype(np.int32))
                 self.variables, self.opt_state, loss, acc = self._full_step_fn(
-                    self.variables, self.opt_state, sb, db, wb,
-                    self._nshard_deg, seeds, labels, sub)
+                    self.variables, self.opt_state, *self._nshard_dev,
+                    self._nshard_deg, seed_rows, labels, sub)
             else:
                 self.variables, self.opt_state, loss, acc = self._full_step_fn(
                     self.variables, self.opt_state, self._src_dev,
@@ -834,35 +840,49 @@ class SageTrainer:
         (tests/test_parallel.py)."""
         from ..models.sage import SAGE
         from ..parallel import make_mesh
-        from ..parallel.node_sharding import (partition_edges_by_block,
-                                              sharded_layerwise_inference)
+        from ..parallel.node_sharding import (partition_edges_ragged,
+                                              sharded_layerwise_inference_ragged)
         ds, cfg = self.ds, self.cfg
         n_dev = cfg.num_chips if cfg.num_chips > 0 else jax.device_count()
-        mesh = make_mesh(n_data=1, n_node=n_dev, devices=jax.devices()[:n_dev])
-        src, dst = ds.graph.to_coo()
-        src_b, dst_b, w_b, block = partition_edges_by_block(
-            src.astype(np.int64), dst.astype(np.int64), ds.num_nodes, n_dev)
+        mesh = getattr(self, "_nshard_mesh", None)
+        if mesh is None:
+            mesh = make_mesh(n_data=1, n_node=n_dev,
+                             devices=jax.devices()[:n_dev])
+        lay = getattr(self, "_nshard_layout", None)
+        if lay is None:
+            src, dst = ds.graph.to_coo()
+            lay = partition_edges_ragged(
+                src.astype(np.int64), dst.astype(np.int64), ds.num_nodes,
+                n_dev)
+            self._nshard_layout = lay
+            self._nshard_dev = (jnp.asarray(lay.src_r),
+                                jnp.asarray(lay.dst_r),
+                                jnp.asarray(lay.w_r),
+                                jnp.asarray(lay.chunk_offs),
+                                jnp.asarray(lay.node_at))
         mat = jax.jit(lambda v, ids: self.model.apply(
             v, ids, method=SAGE.materialize_features))
         chunks = [
             np.asarray(mat(self.variables, jnp.asarray(ids)))
             for ids in full_neighbor_chunks(ds.num_nodes, cfg.inference_chunk)
         ]
-        h = np.concatenate(chunks, axis=0)[:ds.num_nodes]
-        n_pad = block * n_dev
-        h = np.pad(h, ((0, n_pad - ds.num_nodes), (0, 0)))
-        deg = np.pad(ds.graph.degrees.astype(np.float32),
-                     (0, n_pad - ds.num_nodes))
+        h_nodes = np.concatenate(chunks, axis=0)[:ds.num_nodes]
+        # storage-row order (balanced assignment), pad rows zero
+        h = np.zeros((lay.num_rows_padded, h_nodes.shape[1]), h_nodes.dtype)
+        h[lay.row_of] = h_nodes
+        deg = np.ones((lay.num_rows_padded,), np.float32)
+        deg[lay.row_of] = ds.graph.degrees
 
         def model_apply(variables, h_dst, agg, li):
             return self.model.apply(variables, h_dst, agg, li,
                                     method=SAGE.apply_conv)
 
-        out = sharded_layerwise_inference(
+        src_r, dst_r, w_r, chunk_offs, _ = self._nshard_dev
+        out = sharded_layerwise_inference_ragged(
             mesh, model_apply, self.variables, jnp.asarray(h),
-            jnp.asarray(src_b), jnp.asarray(dst_b), jnp.asarray(w_b),
+            src_r, dst_r, w_r, chunk_offs, lay.max_chunks, lay.chunk,
             jnp.asarray(deg), cfg.num_layers)
-        return np.asarray(out)[: ds.num_nodes]
+        return np.asarray(out)[lay.row_of]
 
     def evaluate(self) -> Dict[str, float]:
         """Split accuracies via fully-on-device inference: one jitted

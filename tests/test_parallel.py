@@ -98,6 +98,106 @@ class TestRingSpmm:
                                    atol=1e-4)
 
 
+class TestRaggedRingSpmm:
+    """Ragged layout: O(E + S^2*chunk) memory with ring parity preserved
+    (VERDICT r2 item 2)."""
+
+    def _layout_and_ref(self, n, e, seed, chunk):
+        from falcon_ttdforgnns_tpu.parallel.node_sharding import (
+            partition_edges_ragged)
+        src, dst = rmat_edges(n, e, seed=seed)
+        src, dst = src.astype(np.int64), dst.astype(np.int64)
+        d = 16
+        h = np.random.default_rng(seed).normal(size=(n, d)).astype(np.float32)
+        ref = np.zeros_like(h, dtype=np.float64)
+        np.add.at(ref, dst, h[src].astype(np.float64))
+        lay = partition_edges_ragged(src, dst, n, 8, chunk=chunk)
+        return src, dst, h, ref, lay
+
+    def test_matches_dense_spmm(self):
+        from falcon_ttdforgnns_tpu.parallel.node_sharding import (
+            ring_spmm_ragged)
+        src, dst, h, ref, lay = self._layout_and_ref(64, 400, 2, chunk=8)
+        h_pad = np.zeros((lay.num_rows_padded, h.shape[1]), np.float32)
+        h_pad[lay.row_of] = h
+        mesh = make_mesh(n_data=1, n_node=8)
+        out = ring_spmm_ragged(mesh, jnp.asarray(h_pad),
+                               jnp.asarray(lay.src_r), jnp.asarray(lay.dst_r),
+                               jnp.asarray(lay.w_r),
+                               jnp.asarray(lay.chunk_offs), lay.max_chunks,
+                               lay.chunk)
+        np.testing.assert_allclose(np.asarray(out)[lay.row_of], ref,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradient_matches_transpose(self):
+        """d/dh of sum(out^2): ppermute/scan/dynamic_slice all transpose
+        correctly (the training step differentiates through the ring)."""
+        from falcon_ttdforgnns_tpu.parallel.node_sharding import (
+            ring_spmm_ragged)
+        src, dst, h, ref, lay = self._layout_and_ref(48, 300, 7, chunk=8)
+        h_pad = np.zeros((lay.num_rows_padded, h.shape[1]), np.float32)
+        h_pad[lay.row_of] = h
+        mesh = make_mesh(n_data=1, n_node=8)
+        args = (jnp.asarray(lay.src_r), jnp.asarray(lay.dst_r),
+                jnp.asarray(lay.w_r), jnp.asarray(lay.chunk_offs))
+
+        def loss(hp):
+            o = ring_spmm_ragged(mesh, hp, *args, lay.max_chunks, lay.chunk)
+            return (o ** 2).sum()
+
+        g = np.asarray(jax.grad(loss)(jnp.asarray(h_pad)))[lay.row_of]
+        gref = np.zeros_like(h, dtype=np.float64)
+        np.add.at(gref, src, 2.0 * ref[dst])
+        np.testing.assert_allclose(g, gref, rtol=1e-3, atol=1e-3)
+
+    def test_skew_memory_bound(self):
+        """Power-law RMAT at S=8: ragged stays <= 1.5x the edge count where
+        the dense bucket layout pads to several x (the papers100M blocker,
+        VERDICT r2 item 2 'done' criterion)."""
+        from falcon_ttdforgnns_tpu.parallel.node_sharding import (
+            partition_edges_by_block, partition_edges_ragged)
+        n, e, S = 2 ** 14, 400_000, 8
+        src, dst = rmat_edges(n, e, seed=1)
+        src, dst = src.astype(np.int64), dst.astype(np.int64)
+        lay = partition_edges_ragged(src, dst, n, S, chunk=1024)
+        assert lay.memory_ratio <= 1.5, lay.memory_ratio
+        src_b, _, _, _ = partition_edges_by_block(src, dst, n, S)
+        dense_ratio = src_b.size / len(src)
+        # the dense layout on the same graph is the blowup the ragged
+        # layout exists to fix
+        assert dense_ratio > 3.0, dense_ratio
+        # ring parity on the skewed graph too (spot-check, small D)
+        d = 4
+        h = np.random.default_rng(0).normal(size=(n, d)).astype(np.float32)
+        ref = np.zeros_like(h, dtype=np.float64)
+        np.add.at(ref, dst, h[src].astype(np.float64))
+        h_pad = np.zeros((lay.num_rows_padded, d), np.float32)
+        h_pad[lay.row_of] = h
+        from falcon_ttdforgnns_tpu.parallel.node_sharding import (
+            ring_spmm_ragged)
+        mesh = make_mesh(n_data=1, n_node=8)
+        out = ring_spmm_ragged(mesh, jnp.asarray(h_pad),
+                               jnp.asarray(lay.src_r), jnp.asarray(lay.dst_r),
+                               jnp.asarray(lay.w_r),
+                               jnp.asarray(lay.chunk_offs), lay.max_chunks,
+                               lay.chunk)
+        out = np.asarray(out)[lay.row_of]
+        rel = np.abs(out - ref) / (np.abs(ref) + 1e-2)
+        assert rel.max() < 5e-3, rel.max()
+
+    def test_balanced_assignment_balances_skew(self):
+        from falcon_ttdforgnns_tpu.parallel.node_sharding import (
+            balanced_row_assignment)
+        rng = np.random.default_rng(0)
+        # heavy-tailed but physical (unclamped zipf(1.5) puts 99.8% of all
+        # mass on one node — no assignment can balance that)
+        deg = np.minimum(rng.zipf(1.5, 4096), 10_000).astype(np.int64)
+        row_of, block = balanced_row_assignment(deg, 8)
+        shard = row_of // block
+        loads = np.bincount(shard, weights=deg, minlength=8)
+        assert loads.max() / max(loads.mean(), 1) < 1.05
+
+
 class TestShardedInference:
     def test_layerwise_matches_dense(self):
         """Node-sharded layer-wise inference == dense reference on the
@@ -180,7 +280,7 @@ class TestNodeShardedTraining:
         papers100M training regime, VERDICT r1 item 6)."""
         import optax
         from falcon_ttdforgnns_tpu.parallel.node_sharding import (
-            partition_edges_by_block, make_node_sharded_full_step)
+            partition_edges_ragged, make_node_sharded_full_step)
         from falcon_ttdforgnns_tpu.train.optim import make_optimizer
 
         ds = synthetic_dataset(num_nodes=200, avg_degree=5, num_classes=4,
@@ -218,19 +318,22 @@ class TestNodeShardedTraining:
 
         ref_params, ref_loss = jax.jit(ref_step)(variables, opt_state)
 
-        # node-sharded step on the 8-device mesh
-        src_b, dst_b, w_b, block = partition_edges_by_block(
-            src.astype(np.int64), dst.astype(np.int64), n, s_shards,
-            pad_multiple=8)
-        n_pad = block * s_shards
-        deg_pad = np.ones((n_pad,), np.float32)
-        deg_pad[:n] = in_deg
+        # node-sharded step on the 8-device mesh (ragged balanced layout)
+        lay = partition_edges_ragged(src.astype(np.int64),
+                                     dst.astype(np.int64), n, s_shards,
+                                     chunk=16)
+        deg_pad = np.ones((lay.num_rows_padded,), np.float32)
+        deg_pad[lay.row_of] = in_deg
         mesh = make_mesh(n_data=1, n_node=8)
-        step = make_node_sharded_full_step(model, tx, mesh, n, n_pad, 2)
+        step = make_node_sharded_full_step(model, tx, mesh, 2,
+                                           lay.max_chunks, lay.chunk)
         new_vars, _, loss, acc = step(
-            variables, tx.init(variables["params"]), jnp.asarray(src_b),
-            jnp.asarray(dst_b), jnp.asarray(w_b), jnp.asarray(deg_pad),
-            jnp.asarray(seeds), jnp.asarray(labels), jax.random.PRNGKey(1))
+            variables, tx.init(variables["params"]), jnp.asarray(lay.src_r),
+            jnp.asarray(lay.dst_r), jnp.asarray(lay.w_r),
+            jnp.asarray(lay.chunk_offs), jnp.asarray(lay.node_at),
+            jnp.asarray(deg_pad),
+            jnp.asarray(lay.row_of[seeds].astype(np.int32)),
+            jnp.asarray(labels), jax.random.PRNGKey(1))
 
         np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
         for x, y_ in zip(jax.tree.leaves(new_vars["params"]),
