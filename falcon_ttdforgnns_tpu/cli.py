@@ -101,7 +101,8 @@ def main(argv=None):
                 skip_eval=args.skip_eval,
                 eval_every=args.eval_every,
                 log_every=args.log_every,
-                seed=args.seed, dist=args.dist, num_chips=args.num_chips)
+                seed=args.seed, dist=args.dist, num_chips=args.num_chips,
+                data_shards=args.data_shards)
             trainer = SageTrainer(ds, cfg, logger=logger,
                                   precomputed_cores=precomputed)
         else:

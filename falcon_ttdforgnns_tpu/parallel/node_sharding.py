@@ -356,7 +356,8 @@ def sharded_layerwise_inference_ragged(mesh: Mesh, model_apply, variables,
 
 def make_node_sharded_full_step(model, tx, mesh: Mesh, num_layers: int,
                                 max_chunks: Tuple[int, ...], chunk: int,
-                                axis: str = "node"):
+                                axis: str = "node",
+                                data_axis: Optional[str] = None):
     """Node-sharded full-neighbor TRAINING step (papers100M regime): the
     (N, D) activation tensors never exist on one device — features are
     TT-materialized row-sharded (cores replicated, each shard looks up its
@@ -369,6 +370,14 @@ def make_node_sharded_full_step(model, tx, mesh: Mesh, num_layers: int,
     :func:`partition_edges_ragged`): ``node_at`` maps rows back to node
     ids for feature materialization, and callers pass ``seed_rows`` =
     ``layout.row_of[seeds]``.
+
+    With ``data_axis`` set (the hybrid DCN(data) x ICI(node) layout of
+    SURVEY §2.4), the minibatch seeds/labels are additionally sharded over
+    that mesh axis: each data group evaluates the loss on its own seed
+    slice while sharing the node-sharded propagation (replicated over
+    'data', manual only over 'node' in the ring), and the global batch
+    mean makes XLA psum the gradients over BOTH axes.  Numerically
+    identical to the unsharded batch — same loss, same updates.
 
     TPU-native counterpart of training at a scale the reference could
     not reach (SURVEY §2.4 / §5.7: node-space sharding is the missing
@@ -410,10 +419,11 @@ def make_node_sharded_full_step(model, tx, mesh: Mesh, num_layers: int,
 
     ragged = NamedSharding(mesh, P(axis, None))
     vec = NamedSharding(mesh, P(axis))
+    seedspec = (NamedSharding(mesh, P(data_axis)) if data_axis else repl)
     return jax.jit(
         step,
         in_shardings=(repl, repl, ragged, ragged, ragged, ragged, vec, vec,
-                      repl, repl, repl),
+                      seedspec, seedspec, repl),
         out_shardings=(repl, repl, repl, repl),
         donate_argnums=(0, 1),
     )

@@ -63,6 +63,9 @@ class TrainConfig:
     skip_eval: bool = False      # skip evaluation entirely (--skip-eval)
     dist: bool = False          # data-parallel over the device mesh
     num_chips: int = -1         # -1 = all devices
+    # hybrid data x node mesh width (--dist --node-shard); -1 = one data
+    # group per host (DCN data x ICI node), or 2 on a single host
+    data_shards: int = -1
     # Device-resident multi-step: stack S sampled batches host-side and run
     # S optimizer steps inside one jitted fori_loop per dispatch.  Amortizes
     # host/dispatch overhead (essential under remote-attached TPUs; measured
@@ -196,14 +199,15 @@ class SageTrainer:
         self._device_multi_fn = None
         self._full_step_fn = None
         self._fused_sparse = False
-        if cfg.dist and not cfg.use_sample:
+        if cfg.dist and not cfg.use_sample and not cfg.node_shard:
             # train_epoch dispatches on use_sample first, so the DP branch's
             # step fns would never be reached — fail loudly instead of
             # crashing on a None _full_step_fn at the first batch
             raise ValueError("--dist is a sampled-minibatch DP path; "
                              "full-neighbor training scales out via "
-                             "--node-shard instead")
-        if cfg.dist and jax.device_count() > 1:
+                             "--node-shard (optionally combined with "
+                             "--dist for the hybrid data x node mesh)")
+        if cfg.dist and cfg.use_sample and jax.device_count() > 1:
             # DDP analog (`sage_dgl_partition.py:198-255`): mesh DP — params
             # replicated, batch sharded, grads psum'd by XLA.
             from ..parallel import (make_mesh, make_dp_train_step,
@@ -220,14 +224,17 @@ class SageTrainer:
         elif not cfg.use_sample:
             # full-neighbor training (`--full-neighbor`); with --node-shard
             # on a multi-device mesh the activations are row-sharded and
-            # aggregation runs as ring SpMM (papers100M training regime)
+            # aggregation runs as ring SpMM (papers100M training regime).
+            # --dist --node-shard additionally shards the minibatch over a
+            # 'data' mesh axis (hybrid DCN data x ICI node, SURVEY §2.4).
             self._step_fn = self._build_step()       # run-one compatibility
             self._nshard_train = cfg.node_shard and jax.device_count() > 1
             if self._nshard_train:
                 from ..parallel import make_mesh
-                from ..parallel.node_sharding import make_node_sharded_full_step
                 n = cfg.num_chips if cfg.num_chips > 0 else jax.device_count()
-                self._nshard_mesh = make_mesh(n_data=1, n_node=n,
+                n_data = self._resolve_data_shards(n) if cfg.dist else 1
+                self._nshard_mesh = make_mesh(n_data=n_data,
+                                              n_node=n // n_data,
                                               devices=jax.devices()[:n])
                 self._full_step_fn = None  # built after graph placement
             else:
@@ -254,13 +261,35 @@ class SageTrainer:
             from ..parallel.node_sharding import make_node_sharded_full_step
             self._full_step_fn = make_node_sharded_full_step(
                 self.model, self.tx, self._nshard_mesh, cfg.num_layers,
-                self._nshard_layout.max_chunks, self._nshard_layout.chunk)
+                self._nshard_layout.max_chunks, self._nshard_layout.chunk,
+                data_axis="data" if self._nshard_mesh.shape["data"] > 1
+                else None)
         if cfg.mode == "puregpu" and cfg.cache_size > 0 and logger:
             logger.warning("--mode puregpu samples on device; host LFU "
                            "frequencies are unavailable (cache populate "
                            "will use device-side counters if enabled)")
         self._metrics: Dict[str, List[float]] = {"loss": [], "throughput": []}
         self.step = 0
+
+    def _resolve_data_shards(self, n_devices: int) -> int:
+        """Split n_devices into (data, node) for the hybrid mesh: explicit
+        --data-shards wins; else one data group per host (the DCN(data) x
+        ICI(node) layout, SURVEY §2.4); single-host defaults to 2 when the
+        device count allows (so --dist --node-shard means something)."""
+        cfg = self.cfg
+        if cfg.data_shards > 0:
+            if n_devices % cfg.data_shards:
+                raise ValueError(f"--data-shards {cfg.data_shards} does not "
+                                 f"divide {n_devices} devices")
+            n_data = cfg.data_shards
+        elif jax.process_count() > 1 and n_devices % jax.process_count() == 0:
+            n_data = jax.process_count()
+        else:
+            n_data = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
+        if cfg.batch_size % n_data:
+            raise ValueError(f"batch size {cfg.batch_size} must divide by "
+                             f"the data axis ({n_data})")
+        return n_data
 
     def _want_fused_sparse(self) -> bool:
         """--sparse routes TT-core updates through the fused Pallas
@@ -312,11 +341,15 @@ class SageTrainer:
             # up memory (VERDICT r2 item 2)
             from ..parallel.node_sharding import partition_edges_ragged
             src, dst = g.to_coo()
-            n_dev = (cfg.num_chips if cfg.num_chips > 0
-                     else jax.device_count())
+            # ring width = the mesh's 'node' axis (on a hybrid data x node
+            # mesh that is fewer than the device count)
+            n_ring = (self._nshard_mesh.shape["node"]
+                      if getattr(self, "_nshard_mesh", None) is not None
+                      else (cfg.num_chips if cfg.num_chips > 0
+                            else jax.device_count()))
             lay = partition_edges_ragged(
                 src.astype(np.int64), dst.astype(np.int64),
-                g.num_nodes, n_dev)
+                g.num_nodes, n_ring)
             self._nshard_layout = lay
             self._nshard_dev = (jnp.asarray(lay.src_r),
                                 jnp.asarray(lay.dst_r),

@@ -62,6 +62,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     dist.add_argument("--node-shard", action="store_true",
                       help="node-space-sharded layer-wise inference over a "
                            "'node' mesh axis (ring SpMM; papers100M scale-out)")
+    dist.add_argument("--data-shards", type=int, default=-1,
+                      help="with --dist --node-shard: width of the 'data' "
+                           "axis of the hybrid data x node mesh (-1 = one "
+                           "group per host, or 2 on a single host)")
     dist.add_argument("--multihost", action="store_true",
                       help="jax.distributed.initialize() multi-host bootstrap "
                            "(DCN-spanning mesh; no-op on one host)")

@@ -273,6 +273,29 @@ class TestNodeShardTraining:
         stats = tr.train_epoch(0)
         assert np.isfinite(stats["loss"])
 
+    @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+    def test_dist_node_shard_hybrid_mesh(self):
+        """--dist --node-shard: hybrid 2x4 data x node mesh — batch sharded
+        over 'data', ring SpMM over 'node' (VERDICT r2 item 3)."""
+        ds = small_ds(n=400)
+        tr = SageTrainer(ds, small_cfg(use_sample=False, node_shard=True,
+                                       dist=True, batch_size=32))
+        assert dict(tr._nshard_mesh.shape) == {"data": 2, "node": 4}
+        stats = tr.train_epoch(0)
+        assert np.isfinite(stats["loss"])
+
+    @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+    def test_data_shards_flag(self):
+        """--data-shards picks the hybrid mesh split explicitly."""
+        ds = small_ds(n=400)
+        tr = SageTrainer(ds, small_cfg(use_sample=False, node_shard=True,
+                                       dist=True, data_shards=4,
+                                       batch_size=32))
+        assert dict(tr._nshard_mesh.shape) == {"data": 4, "node": 2}
+        with pytest.raises(ValueError, match="data-shards"):
+            SageTrainer(ds, small_cfg(use_sample=False, node_shard=True,
+                                      dist=True, data_shards=3))
+
 
 class TestEpochEdgeCases:
     def test_wrap_full_cyclic(self):

@@ -340,3 +340,70 @@ class TestNodeShardedTraining:
                          jax.tree.leaves(ref_params)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y_),
                                        rtol=5e-4, atol=1e-5)
+
+    def test_hybrid_data_x_node_matches_single_device(self):
+        """--dist --node-shard: the SAME step on a 2x4 data x node mesh —
+        batch sharded over 'data', ring over 'node' — must produce the
+        identical loss and params (grads psum over both axes; VERDICT r2
+        item 3)."""
+        import optax
+        from falcon_ttdforgnns_tpu.parallel.node_sharding import (
+            partition_edges_ragged, make_node_sharded_full_step)
+        from falcon_ttdforgnns_tpu.train.optim import make_optimizer
+
+        ds = synthetic_dataset(num_nodes=160, avg_degree=5, num_classes=4,
+                               feat_dim=16, seed=4)
+        n = ds.num_nodes
+        model = SAGE(num_nodes=n, in_dim=16, hidden_dim=16, num_classes=4,
+                     num_layers=2, use_tt=True, tt_ranks=(4, 4),
+                     weight_dist="normal", dropout=0.0)
+        src, dst = ds.graph.to_coo()
+        in_deg = ds.graph.degrees.astype(np.float32)
+        seeds = np.arange(0, 32, dtype=np.int32)
+        labels = ds.labels[seeds].astype(np.int32)
+        key = jax.random.PRNGKey(0)
+        b0 = sample_block(ds.graph, np.arange(8), (2, 2),
+                          np.random.default_rng(0))
+        variables = model.init({"params": key, "dropout": key},
+                               jnp.asarray(b0.seeds),
+                               [jnp.asarray(l) for l in b0.layers])
+        tx = make_optimizer(lr=0.01, plateau=False)
+
+        def ref_step(vs, os_):
+            def loss_fn(p):
+                logits_all = model.apply(
+                    {"params": p}, jnp.asarray(src.astype(np.int32)),
+                    jnp.asarray(dst), jnp.asarray(in_deg), False,
+                    method=SAGE.forward_full_graph)
+                logits = jnp.take(logits_all, jnp.asarray(seeds), axis=0)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, jnp.asarray(labels)).mean()
+            loss, grads = jax.value_and_grad(loss_fn)(vs["params"])
+            ups, _ = tx.update(grads, os_, vs["params"], value=loss)
+            return optax.apply_updates(vs["params"], ups), loss
+
+        ref_params, ref_loss = jax.jit(ref_step)(
+            variables, tx.init(variables["params"]))
+
+        lay = partition_edges_ragged(src.astype(np.int64),
+                                     dst.astype(np.int64), n, 4, chunk=16)
+        deg_pad = np.ones((lay.num_rows_padded,), np.float32)
+        deg_pad[lay.row_of] = in_deg
+        mesh = make_mesh(n_data=2, n_node=4)
+        assert dict(mesh.shape) == {"data": 2, "node": 4}
+        step = make_node_sharded_full_step(model, tx, mesh, 2,
+                                           lay.max_chunks, lay.chunk,
+                                           data_axis="data")
+        new_vars, _, loss, acc = step(
+            variables, tx.init(variables["params"]), jnp.asarray(lay.src_r),
+            jnp.asarray(lay.dst_r), jnp.asarray(lay.w_r),
+            jnp.asarray(lay.chunk_offs), jnp.asarray(lay.node_at),
+            jnp.asarray(deg_pad),
+            jnp.asarray(lay.row_of[seeds].astype(np.int32)),
+            jnp.asarray(labels), jax.random.PRNGKey(1))
+
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+        for x, y_ in zip(jax.tree.leaves(new_vars["params"]),
+                         jax.tree.leaves(ref_params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y_),
+                                       rtol=5e-4, atol=1e-5)
