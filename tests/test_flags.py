@@ -274,6 +274,28 @@ class TestNodeShardTraining:
         assert np.isfinite(stats["loss"])
 
     @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+    def test_dist_puregpu_samples_in_jit(self):
+        """--dist --mode puregpu: DP composes with device-side sampling —
+        CSR replicated per chip, seeds sharded over 'data', and the result
+        matches the single-device puregpu program exactly (VERDICT r2
+        item 4; reference per-rank UVA sampling,
+        sage_dgl_partition.py:153,164)."""
+        ds = small_ds(n=800)
+        common = dict(mode="puregpu", steps_per_call=4, batch_size=32,
+                      dropout=0.0)
+        tr_dp = SageTrainer(ds, small_cfg(dist=True, **common))
+        assert tr_dp.mesh is not None          # DP mesh built
+        assert tr_dp._device_multi_fn is not None  # in-jit sampling path
+        m_dp = tr_dp.train_epoch(0)
+        tr_1 = SageTrainer(ds, small_cfg(dist=False, **common))
+        m_1 = tr_1.train_epoch(0)
+        assert abs(m_dp["loss"] - m_1["loss"]) < 1e-4
+        for a, b in zip(jax.tree.leaves(tr_dp.variables["params"]),
+                        jax.tree.leaves(tr_1.variables["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-5)
+
+    @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
     def test_dist_node_shard_hybrid_mesh(self):
         """--dist --node-shard: hybrid 2x4 data x node mesh — batch sharded
         over 'data', ring SpMM over 'node' (VERDICT r2 item 3)."""
