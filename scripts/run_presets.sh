@@ -40,6 +40,18 @@ case "$PRESET" in
       --tt-rank 16,16 --p-shapes 400,500,600 --q-shapes 4,4,8 \
       --sparse --use-cached --cache-size 500000 \
       --batch 1024 --fan-out 5,10,15 --epochs 2 ;;
+  papers-rehearsal)   # papers100M dress rehearsal (VERDICT r2 item 7):
+                      # the full papers pipeline shape at reduced node
+                      # count on an 8-device virtual mesh — real TT config
+                      # p=400,500,600 / q=4,4,8, node-sharded ragged-ring
+                      # full-neighbor training on the hybrid data x node
+                      # mesh, sparse + cache flags on
+    XLA_FLAGS="${XLA_FLAGS:-} --xla_force_host_platform_device_count=8 --xla_cpu_enable_concurrency_optimized_scheduler=false" \
+    "${PY[@]}" --model sage --dataset hard-ogbn-papers100M \
+      --synthetic-scale 0.0001 --device cpu --use-tt \
+      --tt-rank 16,16 --p-shapes 400,500,600 --q-shapes 4,4,8 \
+      --full-neighbor --node-shard --dist --sparse \
+      --use-cached --cache-size 256 --batch 512 --epochs 1 ;;
   autotuning)         # nevergrad/ES TT-rank search (tuning_SAGE.py parity)
     "${PY[@]}" --model sage --dataset ogbn-products --use-tt --autotune \
       --tune-budget 20 --batch 1024 --fan-out 5,10,15 ;;
@@ -74,6 +86,6 @@ case "$PRESET" in
       --tt-rank 4,4 --init normal --epochs 2 --eval-every 2 --partition 4 ;;
   *)
     echo "unknown preset: $PRESET" >&2
-    echo "presets: baseline fbtt-products final-p final-p2 gcn gat final-papers autotuning dist puregpu sparse-fused full-neighbor node-shard run-one smoke" >&2
+    echo "presets: baseline fbtt-products final-p final-p2 gcn gat final-papers papers-rehearsal autotuning dist puregpu sparse-fused full-neighbor node-shard run-one smoke" >&2
     exit 1 ;;
 esac

@@ -6,6 +6,7 @@ the reference's papers preset p=(400,500,600), q=(4,4,8)
 (`run_script.sh:408-430`)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,3 +71,49 @@ def test_cache_on_large_id_space():
     assert set(np.asarray(hot).tolist()) <= set(ids[ids >= 0].tolist())
     hitmask, slots = cache_ops.lookup(meta, hot)
     assert bool(np.asarray(hitmask).all())
+
+
+class TestPapersDressRehearsal:
+    """The papers100M pipeline shape end-to-end at reduced node count on
+    the 8-device mesh (VERDICT r2 item 7; BASELINE.json config 5): the
+    REAL papers TT config p=(400,500,600) q=(4,4,8), node-sharded
+    full-neighbor training over the ragged ring, hybrid data axis, cache
+    flag on — finite loss, and sharded-vs-single parity."""
+
+    def _ds(self):
+        from falcon_ttdforgnns_tpu.graph import get_dataset
+        # papers100M shape at ~0.0001 scale: ~11K nodes, avg degree 15
+        return get_dataset("hard-ogbn-papers100M", synthetic_scale=1e-4,
+                           seed=0)
+
+    def _cfg(self, **kw):
+        from falcon_ttdforgnns_tpu.train import TrainConfig
+        base = dict(batch_size=512, fanouts=(5, 10, 15), epochs=1,
+                    hidden_dim=32, num_layers=2, use_tt=True,
+                    tt_ranks=(16, 16), p_shapes=(400, 500, 600),
+                    q_shapes=(4, 4, 8), weight_dist="normal", dropout=0.0,
+                    use_sample=False, skip_eval=True, eval_every=10**9,
+                    log_every=10**9, seed=0)
+        base.update(kw)
+        return TrainConfig(**base)
+
+    @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+    def test_rehearsal_runs_and_matches_single(self):
+        from falcon_ttdforgnns_tpu.train import SageTrainer
+        ds = self._ds()
+        # full papers regime: node-sharded ragged ring + hybrid data axis
+        # + sparse flag + cache flag
+        tr = SageTrainer(ds, self._cfg(node_shard=True, dist=True,
+                                       sparse=True, cache_size=256))
+        assert dict(tr._nshard_mesh.shape) == {"data": 2, "node": 4}
+        assert tr._nshard_layout.memory_ratio < 2.0  # ragged, not dense
+        m = tr.train_epoch(0)
+        assert np.isfinite(m["loss"])
+
+        # sharded-vs-single parity at matched config (no cache: the
+        # single-device full-neighbor forward has no cache either way)
+        tr_s = SageTrainer(ds, self._cfg(node_shard=True, dist=True))
+        m_s = tr_s.train_epoch(0)
+        tr_1 = SageTrainer(ds, self._cfg())
+        m_1 = tr_1.train_epoch(0)
+        assert abs(m_s["loss"] - m_1["loss"]) < 5e-3, (m_s["loss"], m_1["loss"])
