@@ -102,7 +102,7 @@ def main(argv=None):
                 eval_every=args.eval_every,
                 log_every=args.log_every,
                 seed=args.seed, dist=args.dist, num_chips=args.num_chips,
-                data_shards=args.data_shards)
+                data_shards=args.data_shards, bf16=args.bf16)
             trainer = SageTrainer(ds, cfg, logger=logger,
                                   precomputed_cores=precomputed)
         else:

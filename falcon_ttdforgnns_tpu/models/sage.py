@@ -90,6 +90,9 @@ class SAGE(nn.Module):
     batch_count: int = 131072   # TT lookup chunk size (--batch-count)
     grouped: bool = False       # Efficient_TT prefix-dedup lookup (--emb-name eff)
     device_freq: bool = False   # in-step LFU counting (puregpu + cache)
+    # --bf16: conv tower in bfloat16 (params f32, activations bf16) — the
+    # fanout-level activations dominate step HBM traffic at products scale
+    bf16: bool = False
 
     def setup(self):
         self.embed_layer = make_embed_layer(
@@ -99,7 +102,9 @@ class SAGE(nn.Module):
             batch_count=self.batch_count, grouped=self.grouped,
             device_freq=self.device_freq)
         dims = [self.hidden_dim] * (self.num_layers - 1) + [self.num_classes]
-        self.convs = [SAGEConv(d, name=f"conv_{i}") for i, d in enumerate(dims)]
+        cdt = jnp.bfloat16 if self.bf16 else None
+        self.convs = [SAGEConv(d, name=f"conv_{i}", dtype=cdt)
+                      for i, d in enumerate(dims)]
         self.dropout_layer = nn.Dropout(self.dropout)
 
     def embed_nodes(self, ids: jax.Array, count_accesses: bool = True) -> jax.Array:
@@ -131,6 +136,12 @@ class SAGE(nn.Module):
 
     def _conv_tower(self, hs: List[jax.Array], train: bool) -> jax.Array:
         B = hs[0].shape[0]
+        if self.bf16:
+            # bf16 activations end-to-end through the tower: halves the
+            # HBM bytes of the (B*prod(fanouts), D) level tensors — the
+            # conv/dropout bucket of the step is bandwidth-bound, not
+            # MXU-bound.  Params stay f32; logits are cast back below.
+            hs = [h.astype(jnp.bfloat16) for h in hs]
         for li, conv in enumerate(self.convs):
             new_hs = []
             for lev in range(len(hs) - 1):
@@ -143,7 +154,7 @@ class SAGE(nn.Module):
                     h = self.dropout_layer(h, deterministic=not train)
                 new_hs.append(h)
             hs = new_hs
-        return hs[0][:, 0, :]  # (B, num_classes)
+        return hs[0][:, 0, :].astype(jnp.float32)  # (B, num_classes)
 
     def forward_from_embeddings(self, h_all: jax.Array, seeds: jax.Array,
                                 layers: Sequence[jax.Array],

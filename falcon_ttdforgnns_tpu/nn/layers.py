@@ -43,12 +43,18 @@ class SAGEConv(nn.Module):
 
     out_dim: int
     use_bias: bool = True
+    # compute dtype (params stay f32): bfloat16 halves the HBM traffic of
+    # the big fanout-level activations — the step's bottleneck at products
+    # scale is bytes, not MXU flops
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, h_dst: jax.Array, h_neigh: jax.Array) -> jax.Array:
         """h_dst (..., D), h_neigh (..., D) pre-aggregated neighbor mean."""
-        w_self = nn.Dense(self.out_dim, use_bias=self.use_bias, name="self")
-        w_neigh = nn.Dense(self.out_dim, use_bias=False, name="neigh")
+        w_self = nn.Dense(self.out_dim, use_bias=self.use_bias, name="self",
+                          dtype=self.dtype)
+        w_neigh = nn.Dense(self.out_dim, use_bias=False, name="neigh",
+                           dtype=self.dtype)
         return w_self(h_dst) + w_neigh(h_neigh)
 
 

@@ -66,6 +66,9 @@ class TrainConfig:
     # hybrid data x node mesh width (--dist --node-shard); -1 = one data
     # group per host (DCN data x ICI node), or 2 on a single host
     data_shards: int = -1
+    # --bf16: conv tower activations in bfloat16 (params and TT cores stay
+    # f32) — halves the step's dominant HBM traffic
+    bf16: bool = False
     # Device-resident multi-step: stack S sampled batches host-side and run
     # S optimizer steps inside one jitted fori_loop per dispatch.  Amortizes
     # host/dispatch overhead (essential under remote-attached TPUs; measured
@@ -174,6 +177,7 @@ class SageTrainer:
             precomputed_cores=precomputed_cores,
             batch_count=cfg.batch_count,
             grouped=cfg.grouped,
+            bf16=cfg.bf16,
             # with in-jit sampling the host loader never runs, so the
             # device-side LFU counters are the only frequency source
             device_freq=(cfg.mode == "puregpu" and cfg.cache_size > 0),

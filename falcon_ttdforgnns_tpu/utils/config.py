@@ -84,6 +84,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
 
     # TT embedding (tt_utils.py:49-66)
     t = p.add_argument_group("tt")
+    t.add_argument("--bf16", action="store_true",
+                   help="conv-tower activations in bfloat16 (params/cores "
+                        "stay f32; halves the step's dominant HBM traffic)")
     t.add_argument("--use-tt", action="store_true", default=True)
     t.add_argument("--no-tt", dest="use_tt", action="store_false")
     t.add_argument("--tt-rank", type=_int_list, default=[16, 16])

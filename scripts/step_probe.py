@@ -27,6 +27,7 @@ def main():
     table = "--table" in sys.argv      # --sampler table (implies puregpu)
     dropout0 = "--dropout0" in sys.argv  # isolate dropout PRNG+mask cost
     rbg = "--rbg" in sys.argv          # TPU hardware RNG for in-step bits
+    bf16 = "--bf16" in sys.argv        # bf16 conv-tower activations
     puregpu = puregpu or table
 
     import jax
@@ -45,6 +46,7 @@ def main():
                       sampler="table" if table else "csr",
                       dropout=0.0 if dropout0 else 0.5,
                       rng_impl="rbg" if rbg else "threefry",
+                      bf16=bf16,
                       eval_every=10**9, log_every=10**9)
     t0 = time.time()
     tr = SageTrainer(ds, cfg)

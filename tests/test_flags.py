@@ -319,6 +319,34 @@ class TestNodeShardTraining:
                                       dist=True, data_shards=3))
 
 
+class TestBf16:
+    def test_bf16_tower_close_to_f32(self):
+        """--bf16: conv-tower activations in bfloat16 — same program shape,
+        loss within bf16 tolerance of the f32 step, params stay f32."""
+        ds = small_ds(n=600)
+        common = dict(mode="puregpu", steps_per_call=2, batch_size=32,
+                      dropout=0.0)
+        tr_b = SageTrainer(ds, small_cfg(bf16=True, **common))
+        m_b = tr_b.train_epoch(0)
+        tr_f = SageTrainer(ds, small_cfg(bf16=False, **common))
+        m_f = tr_f.train_epoch(0)
+        assert np.isfinite(m_b["loss"])
+        assert abs(m_b["loss"] - m_f["loss"]) < 5e-2
+        for leaf in jax.tree.leaves(tr_b.variables["params"]):
+            assert leaf.dtype == np.float32
+
+    def test_bf16_with_fused_sparse(self):
+        """--bf16 --sparse: the f32 cotangent reaching the fused TT-SGD
+        kernel comes from the bf16 tower via the astype transpose."""
+        ds = small_ds(n=600)
+        tr = SageTrainer(ds, small_cfg(bf16=True, sparse=True,
+                                       tt_optimizer="sgd", dropout=0.0,
+                                       batch_size=32))
+        assert tr._fused_sparse
+        m = tr.train_epoch(0)
+        assert np.isfinite(m["loss"])
+
+
 class TestEpochEdgeCases:
     def test_wrap_full_cyclic(self):
         """Ragged-tail wrap stays full-size even when the whole index set
