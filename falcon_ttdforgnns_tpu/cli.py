@@ -84,7 +84,12 @@ def main(argv=None):
                     "normal", "uniform", "naive-uniform", "approx-normal",
                     "approx-uniform") else "approx-normal",
                 cache_size=args.cache_size if args.use_cached else 0,
-                tt_optimizer="sgd" if args.sparse else args.tt_optimizer,
+                # --sparse defaults the cores to fused SGD; an explicit
+                # adagrad/rowwise_adagrad keeps its semantics and routes to
+                # the fused adagrad kernel (tt_fused_adagrad_pallas)
+                tt_optimizer=("sgd" if args.sparse
+                              and args.tt_optimizer == "adam"
+                              else args.tt_optimizer),
                 sparse=args.sparse,
                 batch_count=args.batch_count,
                 spmm=args.spmm,

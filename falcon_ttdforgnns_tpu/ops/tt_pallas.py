@@ -280,6 +280,54 @@ def _sgd_kernel(shapes: TTShapes, block: int, compute_dtype, lr: float,
     _bwd_chain(shapes, compute_dtype, crT, ohs, levels, dout_ref[:, :], emit)
 
 
+def _adagrad_kernel(shapes: TTShapes, block: int, compute_dtype, lr: float,
+                    eps: float, rowwise: bool, *refs):
+    """Fused adagrad: the grid's blocks accumulate the dense core grads
+    into the core-output tiles (grad-buffer phase); the LAST block then
+    reads the f32 master cores + accumulators and applies one exact
+    adagrad update.  Unlike SGD (linear in g, so per-block `+= -lr*g_b`
+    sums to the right update), adagrad needs the TOTAL grad before the
+    state update — hence the two-phase layout.  Matches
+    `train/optim.py:tt_adagrad` / `rowwise_adagrad` bit-for-bit semantics
+    (reference eps convention: lr*g/(sqrt(a)+eps), cu:399-419 /
+    cu:1746-1846)."""
+    T = shapes.ndim
+    idx_ref, dout_ref = refs[0], refs[1]
+    core_refs = refs[2:2 + T]
+    acc_refs = refs[2 + T:2 + 2 * T]
+    o_cores = refs[2 + 2 * T:2 + 3 * T]
+    o_accs = refs[2 + 3 * T:]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for o in o_cores:
+            o[:, :] = jnp.zeros_like(o)
+
+    crT, ohs = _gather_crt(shapes, block, compute_dtype, idx_ref[:],
+                           core_refs, cast=True)
+    levels = _fwd_chain(shapes, crT, skip_last=True)
+
+    def emit(k, contrib):
+        o_cores[k][:, :] += contrib
+
+    _bwd_chain(shapes, compute_dtype, crT, ohs, levels, dout_ref[:, :], emit)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _finalize():
+        for k in range(T):
+            g = o_cores[k][:, :]
+            if rowwise:
+                # one accumulator per p-row of the native core = per LANE
+                # of the transposed (F, p) tile: mean of g^2 over sublanes
+                a = acc_refs[k][:, :] + jnp.mean(g * g, axis=0, keepdims=True)
+            else:
+                a = acc_refs[k][:, :] + g * g
+            o_accs[k][:, :] = a
+            o_cores[k][:, :] = (core_refs[k][:, :]
+                                - lr * g / (jnp.sqrt(a) + eps))
+
+
 def _core_unfoldings(shapes: TTShapes, cores: Cores, compute_dtype,
                      last_u_major: bool = False):
     """Transposed (F_k, p_k) core unfoldings for the VMEM-resident inputs.
@@ -502,3 +550,85 @@ def tt_fused_sgd_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
         interpret=interpret,
     )(indices.astype(jnp.int32), doutT, *cts)
     return _native_layout(shapes, tiles, last_u_major=True)
+
+
+# ---------------------------------------------------------------------------
+# fused in-kernel adagrad / rowwise-adagrad: recompute-backward, accumulate
+# the dense grads across the grid, apply ONE exact adagrad update on the
+# last block (the reference's EXACT_ADAGRAD / EXACT_ROWWISE_ADAGRAD fused
+# sparse optimizers, `update_tt_cores_adagrad_kernel` cu:399-419 +
+# `cache_backward_rowwise_adagrad_approx` cu:1746-1846 — re-architected as
+# a two-phase sequential-grid kernel instead of atomics).
+# ---------------------------------------------------------------------------
+
+def tt_fused_adagrad_pallas(shapes: TTShapes, cores: Cores, accs: Cores,
+                            indices: jax.Array, d_out: jax.Array, lr: float,
+                            eps: float = 1e-10, block: int = 1024,
+                            rowwise: bool = False,
+                            compute_dtype=None,
+                            interpret: Optional[bool] = None
+                            ) -> Tuple[Cores, Cores]:
+    """One fused pass: recompute forward partials, backprop, apply adagrad
+    to the cores; returns ``(updated_cores, updated_accumulators)``.
+
+    ``accs`` carries the adagrad state: per-element mode expects one array
+    per core with the core's native (p, r, q, r') shape; ``rowwise`` mode
+    expects one (p,) array per core (one accumulator per leading-axis row,
+    mean of g^2 over the rest — `train/optim.py:rowwise_adagrad`).
+    Gradients of duplicate indices accumulate exactly (matmul accumulation
+    == deterministic scatter-add), and the state update sees the TOTAL
+    batch gradient — exact adagrad semantics, unlike the reference's
+    in-kernel variant which updates state per-thread-block as it goes.
+    Supports 2-4 TT cores."""
+    compute_dtype, interpret = _resolve(compute_dtype, interpret)
+    if shapes.ndim not in (2, 3, 4):
+        raise ValueError("fused adagrad supports 2-4 core TT")
+    B = indices.shape[0]
+    pad = (-B) % block
+    if pad:
+        indices = jnp.pad(indices, (0, pad))
+        d_out = jnp.pad(d_out, ((0, pad), (0, 0)))
+    B = indices.shape[0]
+    n_blocks = B // block
+
+    cts = _core_unfoldings(shapes, cores, jnp.float32, last_u_major=True)
+    if rowwise:
+        # (p,) accumulators -> (1, p) lane-aligned tiles
+        accT = tuple(a.reshape(1, shapes.p_shapes[k]).astype(jnp.float32)
+                     for k, a in enumerate(accs))
+        acc_rows = [1] * shapes.ndim
+    else:
+        accT = _core_unfoldings(shapes, accs, jnp.float32, last_u_major=True)
+        acc_rows = [_core_rows(shapes, k) for k in range(shapes.ndim)]
+    doutT = d_out.T.astype(jnp.float32)
+    core_specs, core_shp = _tile_specs(shapes)
+    acc_specs = tuple(
+        pl.BlockSpec((acc_rows[k], shapes.p_shapes[k]), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for k in range(shapes.ndim))
+    acc_shp = tuple(
+        jax.ShapeDtypeStruct((acc_rows[k], shapes.p_shapes[k]), jnp.float32)
+        for k in range(shapes.ndim))
+
+    out = pl.pallas_call(
+        functools.partial(_adagrad_kernel, shapes, block, compute_dtype,
+                          lr, eps, rowwise),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((shapes.embedding_dim, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] + list(core_specs) + list(acc_specs),
+        out_specs=core_specs + acc_specs,
+        out_shape=core_shp + acc_shp,
+        compiler_params=_compiler_params(block),
+        interpret=interpret,
+    )(indices.astype(jnp.int32), doutT, *cts, *accT)
+    new_cores = _native_layout(shapes, out[:shapes.ndim], last_u_major=True)
+    if rowwise:
+        new_accs = tuple(t.reshape(shapes.p_shapes[k])
+                         for k, t in enumerate(out[shapes.ndim:]))
+    else:
+        new_accs = _native_layout(shapes, out[shapes.ndim:],
+                                  last_u_major=True)
+    return new_cores, new_accs

@@ -157,6 +157,12 @@ class SageTrainer:
     def __init__(self, dataset: NodeDataset, config: TrainConfig,
                  logger=None, precomputed_cores=None):
         self.ds = dataset
+        if config.sparse and config.tt_optimizer == "adam":
+            # sparse mode's default core optimizer is fused SGD (EXACT_SGD,
+            # matching the CLI's --sparse default); explicit adagrad /
+            # rowwise_adagrad route to the fused adagrad kernel instead
+            from dataclasses import replace
+            config = replace(config, tt_optimizer="sgd")
         self.cfg = config
         self.logger = logger
         cfg = config
@@ -197,6 +203,22 @@ class SageTrainer:
             {"params": rng, "dropout": rng}, dummy[0], dummy[1], train=False)
         params = self.variables["params"]
         self.opt_state = self.tx.init(params)
+        if (self._want_fused_sparse()
+                and cfg.tt_optimizer in ("adagrad", "rowwise_adagrad")):
+            # fused-adagrad accumulator state rides in the variables pytree
+            # (it must flow through every jitted trainer shape — multi-step
+            # fori carries, DP replication — and checkpoint like any other
+            # collection).  Rowwise keeps one accumulator per p-row
+            # (EXACT_ROWWISE_ADAGRAD, cu:1746-1846); per-element matches
+            # `update_tt_cores_adagrad_kernel` (cu:399-419).
+            embed = params["embed"]
+            rw = cfg.tt_optimizer == "rowwise_adagrad"
+            self.variables = {**self.variables, "tt_opt": {
+                f"acc_{k}": jnp.zeros(
+                    embed[f"tt_core_{k}"].shape[:1] if rw
+                    else embed[f"tt_core_{k}"].shape, jnp.float32)
+                for k in range(len([n for n in embed
+                                    if n.startswith("tt_core_")]))}}
 
         self.mesh = None
         self._multi_fn = None
@@ -319,6 +341,11 @@ class SageTrainer:
         cache); otherwise sparse mode falls back to routed optax SGD."""
         cfg = self.cfg
         if not (cfg.sparse and cfg.use_tt and cfg.cache_size == 0):
+            return False
+        # fused kernels exist for sgd (tt_fused_sgd_pallas) and the two
+        # adagrad flavors (tt_fused_adagrad_pallas); adam falls back to
+        # the routed-optax sparse step
+        if cfg.tt_optimizer not in ("sgd", "adagrad", "rowwise_adagrad"):
             return False
         from ..ops.tt_shapes import make_tt_shapes
         shapes = make_tt_shapes(self.ds.num_nodes, self.ds.feat_dim,
@@ -463,15 +490,20 @@ class SageTrainer:
         # params only — the fused kernel uses the fixed cfg.lr, matching
         # the reference's fixed in-kernel lr.
         from ..models.sage import SAGE, collect_level_ids
-        from ..ops.tt_pallas import tt_lookup_fused, tt_fused_sgd_pallas
+        from ..ops.tt_pallas import (tt_lookup_fused, tt_fused_sgd_pallas,
+                                     tt_fused_adagrad_pallas)
         from ..ops.tt_shapes import make_tt_shapes
         shapes = make_tt_shapes(self.ds.num_nodes, self.ds.feat_dim,
                                 cfg.tt_ranks, cfg.p_shapes, cfg.q_shapes)
         block, lr = 1024, cfg.lr
+        use_adagrad = cfg.tt_optimizer in ("adagrad", "rowwise_adagrad")
+        rowwise = cfg.tt_optimizer == "rowwise_adagrad"
+        adagrad_eps = 1e-8 if rowwise else 1e-10  # train/optim.py defaults
 
         def fused_body(variables, opt_state, seeds, layers, labels, rng):
             params = variables["params"]
-            aux_cols = {k: v for k, v in variables.items() if k != "params"}
+            aux_cols = {k: v for k, v in variables.items()
+                        if k not in ("params", "tt_opt")}
             cores = tuple(params["embed"][f"tt_core_{k}"]
                           for k in range(shapes.ndim))
             all_ids, _, _ = collect_level_ids(seeds, layers)
@@ -495,15 +527,26 @@ class SageTrainer:
             updates, new_opt_state = tx.update(grads, opt_state, params,
                                                value=loss)
             new_params = optax.apply_updates(params, updates)
-            new_cores = tt_fused_sgd_pallas(shapes, cores,
-                                            all_ids.astype(jnp.int32),
-                                            d_h, lr, block)
+            new_accs = None
+            if use_adagrad:
+                accs = tuple(variables["tt_opt"][f"acc_{k}"]
+                             for k in range(shapes.ndim))
+                new_cores, new_accs = tt_fused_adagrad_pallas(
+                    shapes, cores, accs, all_ids.astype(jnp.int32),
+                    d_h, lr, adagrad_eps, block, rowwise=rowwise)
+            else:
+                new_cores = tt_fused_sgd_pallas(shapes, cores,
+                                                all_ids.astype(jnp.int32),
+                                                d_h, lr, block)
             embed = dict(new_params["embed"])
             for k in range(shapes.ndim):
                 embed[f"tt_core_{k}"] = new_cores[k]
             new_params = {**new_params, "embed": embed}
             acc = jnp.mean(jnp.argmax(logits, -1) == labels)
             new_vars = {"params": new_params, **{**aux_cols, **mutated}}
+            if new_accs is not None:
+                new_vars["tt_opt"] = {f"acc_{k}": new_accs[k]
+                                      for k in range(shapes.ndim)}
             return new_vars, new_opt_state, loss, acc
 
         return fused_body

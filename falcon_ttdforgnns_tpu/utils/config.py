@@ -111,7 +111,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    choices=["adam", "sgd", "adagrad", "rowwise_adagrad"],
                    help="TT-core optimizer routing (OptimType parity: "
                         "tt_adagrad_backward cu:721-754, EXACT_ROWWISE_"
-                        "ADAGRAD); --sparse overrides to fused sgd")
+                        "ADAGRAD); under --sparse, adam (the default) "
+                        "becomes fused sgd while adagrad/rowwise_adagrad "
+                        "route to the fused adagrad kernel")
     t.add_argument("--batch-count", type=int, default=65536,
                    help="lookup chunk size (VMEM budget knob, cu:1027 analog)")
     t.add_argument("--spmm", type=str, default="xla",

@@ -89,6 +89,79 @@ class TestFusedSparse:
         assert np.isfinite(stats["loss"])
 
 
+class TestFusedAdagrad:
+    """--sparse --tt-optimizer adagrad/rowwise_adagrad routes TT cores
+    through the fused Pallas adagrad kernel (the reference's
+    EXACT_ADAGRAD / EXACT_ROWWISE_ADAGRAD fused sparse optimizers,
+    cu:399-419 / cu:1746-1846); two steps must match the routed-optimizer
+    math applied to autograd core grads, accumulator threaded between."""
+
+    @staticmethod
+    def _autograd_core_grads(tr, params, seeds, layers, labels, rng):
+        def loss_fn(p):
+            out = tr.model.apply({"params": p}, seeds, layers, train=True,
+                                 rngs={"dropout": rng})
+            return optax.softmax_cross_entropy_with_integer_labels(
+                out, labels).mean()
+        g = jax.grad(loss_fn)(params)
+        return {k: v for k, v in g["embed"].items()
+                if k.startswith("tt_core_")}
+
+    @pytest.mark.parametrize("opt", ["adagrad", "rowwise_adagrad"])
+    def test_two_steps_match_routed_math(self, opt):
+        ds = small_ds()
+        cfg = small_cfg(sparse=True, tt_optimizer=opt)
+        tr = SageTrainer(ds, cfg)
+        assert tr._fused_sparse, "adagrad sparse should select the fused step"
+        assert "tt_opt" in tr.variables, "accumulator state missing"
+        rowwise = opt == "rowwise_adagrad"
+        eps = 1e-8 if rowwise else 1e-10
+
+        batch = next(iter(tr.loader))
+        seeds = jnp.asarray(batch.seeds)
+        layers = [jnp.asarray(l) for l in batch.layers]
+        labels = jnp.asarray(batch.labels)
+        rng = jax.random.PRNGKey(7)
+
+        def expected(core, acc, g):
+            if rowwise:
+                a = acc + jnp.mean(g * g, axis=tuple(range(1, g.ndim)))
+                scale = cfg.lr / (jnp.sqrt(a) + eps)
+                return core - scale.reshape((-1,) + (1,) * (g.ndim - 1)) * g, a
+            a = acc + g * g
+            return core - cfg.lr * g / (jnp.sqrt(a) + eps), a
+
+        v, o = tr.variables, tr.opt_state
+        for step in range(2):
+            params = v["params"]
+            grads = self._autograd_core_grads(tr, params, seeds, layers,
+                                              labels, rng)
+            exp = {k: expected(params["embed"][k],
+                               v["tt_opt"][f"acc_{k[-1]}"], grads[k])
+                   for k in grads}
+            v, o, loss, _ = tr._step_fn(v, o, seeds, layers, labels, rng)
+            assert np.isfinite(float(loss))
+            for k, (w_ref, a_ref) in exp.items():
+                np.testing.assert_allclose(
+                    np.asarray(v["params"]["embed"][k]), np.asarray(w_ref),
+                    atol=5e-3, rtol=5e-2)
+                np.testing.assert_allclose(
+                    np.asarray(v["tt_opt"][f"acc_{k[-1]}"]),
+                    np.asarray(a_ref), atol=5e-3, rtol=5e-2)
+
+    def test_multi_step_threads_state(self):
+        ds = small_ds()
+        tr = SageTrainer(ds, small_cfg(sparse=True,
+                                       tt_optimizer="rowwise_adagrad",
+                                       steps_per_call=2, epochs=1))
+        assert tr._fused_sparse and tr._multi_fn is not None
+        stats = tr.train_epoch(0)
+        assert np.isfinite(stats["loss"])
+        accs = tr.variables["tt_opt"]
+        assert all(float(jnp.max(a)) > 0 for a in accs.values()), \
+            "accumulators never updated through the multi-step loop"
+
+
 class TestFullNeighbor:
     def test_flag_changes_path_and_trains(self):
         ds = small_ds()

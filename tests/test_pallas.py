@@ -158,3 +158,74 @@ def test_fused_sgd_preserves_f32_master(case):
     for nc, c in zip(new, cores):
         assert nc.dtype == jnp.float32
         np.testing.assert_array_equal(np.asarray(nc), np.asarray(c))
+
+
+@pytest.mark.parametrize("ndim", [2, 3, 4])
+@pytest.mark.parametrize("rowwise", [False, True])
+def test_fused_adagrad_family(ndim, rowwise):
+    """tt_fused_adagrad_pallas == dense grads pushed through the routed
+    optimizer math (train/optim.py tt_adagrad / rowwise_adagrad, reference
+    eps convention cu:399-419 / cu:1746-1846) — including a nonzero
+    incoming accumulator and a multi-block grid (total-grad-then-update
+    two-phase semantics)."""
+    from falcon_ttdforgnns_tpu.ops.tt_lookup import tt_core_grads
+    from falcon_ttdforgnns_tpu.ops.tt_pallas import tt_fused_adagrad_pallas
+    shapes, cores = _case_for(ndim)
+    rng = np.random.default_rng(30 + ndim)
+    idx = jnp.asarray(rng.integers(0, shapes.num_embeddings, 300)
+                      .astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(300, shapes.embedding_dim))
+                    .astype(np.float32))
+    lr, eps = 0.05, (1e-8 if rowwise else 1e-10)
+    if rowwise:
+        accs = tuple(jnp.abs(jnp.asarray(
+            rng.normal(size=(c.shape[0],)).astype(np.float32))) for c in cores)
+    else:
+        accs = tuple(jnp.abs(jnp.asarray(
+            rng.normal(size=c.shape).astype(np.float32))) for c in cores)
+    new_cores, new_accs = tt_fused_adagrad_pallas(
+        shapes, cores, accs, idx, g, lr, eps, block=128, rowwise=rowwise,
+        compute_dtype=jnp.float32)
+    grads = tt_core_grads(shapes, cores, idx, g, dedup=False)
+    for k, (c, a, gr) in enumerate(zip(cores, accs, grads)):
+        if rowwise:
+            a_ref = a + jnp.mean(gr * gr, axis=(1, 2, 3))
+            scale = lr / (jnp.sqrt(a_ref) + eps)
+            w_ref = c - scale[:, None, None, None] * gr
+        else:
+            a_ref = a + gr * gr
+            w_ref = c - lr * gr / (jnp.sqrt(a_ref) + eps)
+        np.testing.assert_allclose(np.asarray(new_accs[k]),
+                                   np.asarray(a_ref), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_cores[k]),
+                                   np.asarray(w_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_adagrad_state_accumulates(case):
+    """Two sequential fused-adagrad steps thread the accumulator: step 2's
+    normalization must see g1^2 + g2^2."""
+    from falcon_ttdforgnns_tpu.ops.tt_lookup import tt_core_grads
+    from falcon_ttdforgnns_tpu.ops.tt_pallas import tt_fused_adagrad_pallas
+    shapes, cores = case
+    rng = np.random.default_rng(40)
+    idx = jnp.asarray(rng.integers(0, shapes.num_embeddings, 256)
+                      .astype(np.int32))
+    g1 = jnp.asarray(rng.normal(size=(256, shapes.embedding_dim))
+                     .astype(np.float32))
+    g2 = jnp.asarray(rng.normal(size=(256, shapes.embedding_dim))
+                     .astype(np.float32))
+    lr, eps = 0.05, 1e-10
+    accs0 = tuple(jnp.zeros_like(c) for c in cores)
+    c1, a1 = tt_fused_adagrad_pallas(shapes, cores, accs0, idx, g1, lr, eps,
+                                     block=128, compute_dtype=jnp.float32)
+    c2, a2 = tt_fused_adagrad_pallas(shapes, c1, a1, idx, g2, lr, eps,
+                                     block=128, compute_dtype=jnp.float32)
+    gr1 = tt_core_grads(shapes, cores, idx, g1, dedup=False)
+    gr2 = tt_core_grads(shapes, c1, idx, g2, dedup=False)
+    for k in range(shapes.ndim):
+        a_ref = gr1[k] * gr1[k] + gr2[k] * gr2[k]
+        w_ref = c1[k] - lr * gr2[k] / (jnp.sqrt(a_ref) + eps)
+        np.testing.assert_allclose(np.asarray(a2[k]), np.asarray(a_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c2[k]), np.asarray(w_ref),
+                                   rtol=1e-4, atol=1e-5)
