@@ -15,10 +15,14 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 #include <cstdint>
 #include <cstring>
 #include <deque>
 #include <numeric>
+#include <queue>
 #include <random>
 #include <thread>
 #include <vector>
@@ -194,7 +198,11 @@ struct Graph {
   inline int32_t ew(int64_t j) const { return ewgt.empty() ? 1 : ewgt[j]; }
 };
 
-Graph coarsen(const Graph& g, std::vector<int32_t>& cmap, uint64_t seed) {
+Graph coarsen(const Graph& g, std::vector<int32_t>& cmap, uint64_t seed,
+              const int32_t* constraint = nullptr) {
+  // ``constraint``: only match nodes in the same part (V-cycle coarsening —
+  // keeps a projected partition valid at every level, so coarse-level
+  // refinement can move whole fragments the fine-level greedy never can).
   const int64_t n = g.n();
   cmap.assign(n, -1);
   std::vector<int32_t> order(n);
@@ -210,7 +218,8 @@ Graph coarsen(const Graph& g, std::vector<int32_t>& cmap, uint64_t seed) {
     int32_t best_w = -1;
     for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j) {
       int32_t v = g.indices[j];
-      if (cmap[v] == -1 && v != u && g.ew(j) > best_w) {
+      if (cmap[v] == -1 && v != u && g.ew(j) > best_w &&
+          (!constraint || constraint[v] == constraint[u])) {
         mate = v;
         best_w = g.ew(j);
       }
@@ -390,6 +399,162 @@ void refine(const Graph& g, int32_t k, std::vector<int32_t>& part, int passes) {
   }
 }
 
+// Label-propagation clustering + LPT bin-packing initial partition: on
+// graphs with community structure (the planted-partition family, real
+// social/product graphs) weighted label propagation recovers the clusters
+// almost exactly, and packing whole clusters into the k lightest parts
+// yields an initial split already aligned with the communities — the
+// failure mode of BFS growing (community fragments strewn across parts,
+// unfixable by single-node refinement) never arises.  Clusters larger than
+// the balance cap are split across parts in arrival order.
+void lp_grow(const Graph& g, int32_t k, uint64_t seed,
+             std::vector<int32_t>& part) {
+  const int64_t n = g.n();
+  std::vector<int32_t> lbl(n);
+  std::iota(lbl.begin(), lbl.end(), 0);
+  std::vector<int32_t> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  XorShift128 rng(seed);
+  for (int64_t i = n - 1; i > 0; --i)
+    std::swap(order[i], order[rng.bounded(i + 1)]);
+  std::vector<int64_t> acc(n, 0);
+  std::vector<int64_t> stamp(n, -1);
+  int64_t version = 0;
+  for (int it = 0; it < 12; ++it) {
+    int64_t changed = 0;
+    for (int32_t u : order) {
+      ++version;
+      int32_t best = lbl[u];
+      int64_t best_w = 0;
+      for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j) {
+        const int32_t l = lbl[g.indices[j]];
+        if (stamp[l] != version) { stamp[l] = version; acc[l] = 0; }
+        acc[l] += g.ew(j);
+        if (acc[l] > best_w || (acc[l] == best_w && l == lbl[u])) {
+          best_w = acc[l];
+          best = l;
+        }
+      }
+      if (best != lbl[u]) { lbl[u] = best; ++changed; }
+    }
+    if (changed == 0) break;
+  }
+  // cluster weights
+  std::vector<int64_t> cw(n, 0);
+  int64_t total_w = 0;
+  for (int64_t v = 0; v < n; ++v) {
+    const int32_t w = g.vwgt.empty() ? 1 : g.vwgt[v];
+    cw[lbl[v]] += w;
+    total_w += w;
+  }
+  const int64_t cap = total_w / k + total_w / (4 * k) + 1;
+  // LPT: heaviest cluster first into the lightest part
+  std::vector<int32_t> clusters;
+  for (int64_t c = 0; c < n; ++c)
+    if (cw[c] > 0) clusters.push_back(static_cast<int32_t>(c));
+  std::sort(clusters.begin(), clusters.end(),
+            [&](int32_t a, int32_t b) { return cw[a] > cw[b]; });
+  std::vector<int64_t> size(k, 0);
+  std::vector<int32_t> cpart(n, -1);
+  for (int32_t c : clusters) {
+    int32_t lightest = 0;
+    for (int32_t p = 1; p < k; ++p)
+      if (size[p] < size[lightest]) lightest = p;
+    if (size[lightest] + cw[c] <= cap) {
+      cpart[c] = lightest;
+      size[lightest] += cw[c];
+    }  // oversized / cap-breaking clusters split per-node below
+  }
+  part.assign(n, -1);
+  for (int64_t v = 0; v < n; ++v) {
+    const int32_t c = lbl[v];
+    if (cpart[c] >= 0) {
+      part[v] = cpart[c];
+    } else {
+      const int32_t w = g.vwgt.empty() ? 1 : g.vwgt[v];
+      int32_t lightest = 0;
+      for (int32_t p = 1; p < k; ++p)
+        if (size[p] < size[lightest]) lightest = p;
+      part[v] = lightest;
+      size[lightest] += w;
+    }
+  }
+}
+
+
+}  // namespace part
+
+namespace part {
+
+int64_t cut_weight(const Graph& g, const std::vector<int32_t>& p) {
+  int64_t cut = 0;
+  for (int64_t u = 0; u < g.n(); ++u)
+    for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j)
+      if (p[g.indices[j]] != p[u]) cut += g.ew(j);
+  return cut;
+}
+
+// One multilevel pass over ``g0``: coarsen (optionally restricted to the
+// parts of ``warm``), partition the coarsest (BFS multi-restart, or the
+// projected ``warm`` partition), uncoarsen with per-level refinement.
+std::vector<int32_t> ml_pass(const Graph& g0, int32_t k, uint64_t seed,
+                             const std::vector<int32_t>* warm) {
+  std::vector<const Graph*> levels{&g0};
+  std::vector<Graph> owned;
+  owned.reserve(24);
+  std::vector<std::vector<int32_t>> cmaps;
+  const int64_t coarsen_to = std::max<int64_t>(4096, 8L * k);
+  std::vector<int32_t> proj;  // warm partition projected to the coarsest
+  if (warm) proj = *warm;
+  while (levels.back()->n() > coarsen_to && levels.size() < 24) {
+    std::vector<int32_t> cmap;
+    Graph cg = coarsen(*levels.back(), cmap, seed + levels.size(),
+                       warm ? proj.data() : nullptr);
+    if (cg.n() >= levels.back()->n() * 95 / 100) break;  // matching stalled
+    if (warm) {
+      std::vector<int32_t> cproj(cg.n());
+      for (size_t v = 0; v < cmap.size(); ++v) cproj[cmap[v]] = proj[v];
+      proj = std::move(cproj);
+    }
+    cmaps.push_back(std::move(cmap));
+    owned.push_back(std::move(cg));
+    levels.push_back(&owned.back());
+  }
+  std::vector<int32_t> p;
+  if (warm) {
+    // V-cycle: start from the projected partition — at this level each
+    // node is a same-part fragment, so refinement moves fragments wholesale
+    p = std::move(proj);
+    refine(*levels.back(), k, p, 32);
+  } else {
+    // multi-restart initial split: BFS growing AND label-prop clustering
+    // (the latter wins when the graph has community structure); keep the
+    // best refined cut
+    int64_t best_cut = -1;
+    for (int trial = 0; trial < 4; ++trial) {
+      std::vector<int32_t> cand;
+      if (trial < 2)
+        lp_grow(*levels.back(), k, seed + 1000003ULL * trial, cand);
+      else
+        bfs_grow(*levels.back(), k, seed + 1000003ULL * trial, cand);
+      refine(*levels.back(), k, cand, 16);
+      int64_t cut = cut_weight(*levels.back(), cand);
+      if (best_cut < 0 || cut < best_cut) {
+        best_cut = cut;
+        p = std::move(cand);
+      }
+    }
+  }
+  for (int64_t l = static_cast<int64_t>(cmaps.size()) - 1; l >= 0; --l) {
+    const auto& cmap = cmaps[l];
+    std::vector<int32_t> fine(cmap.size());
+    for (size_t v = 0; v < cmap.size(); ++v) fine[v] = p[cmap[v]];
+    p = std::move(fine);
+    refine(*levels[l], k, p, 8);
+  }
+  return p;
+}
+
 }  // namespace part
 
 void partition_kway(const int64_t* indptr, const int32_t* indices,
@@ -400,41 +565,44 @@ void partition_kway(const int64_t* indptr, const int32_t* indices,
   g.indices.assign(indices, indices + indptr[num_nodes]);
   g.vwgt.assign(num_nodes, 1);
 
-  std::vector<part::Graph> levels;
-  std::vector<std::vector<int32_t>> cmaps;
-  levels.push_back(std::move(g));
-  const int64_t coarsen_to = std::max<int64_t>(4096, 8L * k);
-  while (levels.back().n() > coarsen_to && levels.size() < 24) {
-    std::vector<int32_t> cmap;
-    part::Graph cg = part::coarsen(levels.back(), cmap, seed + levels.size());
-    if (cg.n() >= levels.back().n() * 95 / 100) break;  // matching stalled
-    cmaps.push_back(std::move(cmap));
-    levels.push_back(std::move(cg));
-  }
-  // multi-restart initial partition: the coarsest graph is tiny, so try
-  // several BFS seedings + refinement and keep the best cut
-  std::vector<int32_t> p;
-  int64_t best_cut = -1;
-  for (int trial = 0; trial < 4; ++trial) {
-    std::vector<int32_t> cand;
-    part::bfs_grow(levels.back(), k, seed + 1000003ULL * trial, cand);
-    part::refine(levels.back(), k, cand, 16);
-    const auto& cg = levels.back();
-    int64_t cut = 0;
-    for (int64_t u = 0; u < cg.n(); ++u)
-      for (int64_t j = cg.indptr[u]; j < cg.indptr[u + 1]; ++j)
-        if (cand[cg.indices[j]] != cand[u]) cut += cg.ew(j);
-    if (best_cut < 0 || cut < best_cut) {
-      best_cut = cut;
+  const bool dbg = std::getenv("FALCON_PART_DEBUG") != nullptr;
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto t0 = now();
+  auto lap = [&](const char* tag) {
+    if (!dbg) return;
+    auto t1 = now();
+    fprintf(stderr, "[part] %s: %.2fs\n", tag,
+            std::chrono::duration<double>(t1 - t0).count());
+    t0 = t1;
+  };
+  std::vector<int32_t> p = part::ml_pass(g, k, seed, nullptr);
+  lap("cold ml_pass");
+  int64_t best = part::cut_weight(g, p);
+  // V-cycles (METIS-style multilevel refinement): re-coarsen with matching
+  // restricted to the current parts so the projected partition stays valid
+  // at every level, then refine coarse-to-fine — coarse moves relocate
+  // whole community fragments the node-at-a-time greedy is blind to.
+  // Each cycle re-coarsens the full graph (the dominant cost at products
+  // scale), so continue only while a cycle buys a real improvement (>1%):
+  // community graphs converge in one cycle; expanders (RMAT) stop
+  // immediately instead of paying 3 passes for refinement jitter.
+  // no-structure guard: if the best cut is already near random ((k-1)/k of
+  // the edges; 0.8 covers k >= 8), the graph is expander-like and V-cycles
+  // cannot help — skip them instead of paying a full re-coarsening
+  const int64_t total_ew = static_cast<int64_t>(g.indices.size());
+  for (int cycle = 0; cycle < 2 && best < total_ew * 4 / 5; ++cycle) {
+    std::vector<int32_t> cand =
+        part::ml_pass(g, k, seed + 7919ULL * (cycle + 1), &p);
+    lap("vcycle");
+    int64_t cut = part::cut_weight(g, cand);
+    if (cut < best) {
+      bool meaningful = cut < best - best / 100;
+      best = cut;
       p = std::move(cand);
+      if (!meaningful) break;
+    } else {
+      break;
     }
-  }
-  for (int64_t l = static_cast<int64_t>(cmaps.size()) - 1; l >= 0; --l) {
-    const auto& cmap = cmaps[l];
-    std::vector<int32_t> fine(cmap.size());
-    for (size_t v = 0; v < cmap.size(); ++v) fine[v] = p[cmap[v]];
-    p = std::move(fine);
-    part::refine(levels[l], k, p, 8);
   }
   std::copy(p.begin(), p.end(), out_part);
 }

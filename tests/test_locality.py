@@ -43,7 +43,9 @@ def test_partitioner_cut_quality(ds):
     rand_part = np.random.default_rng(0).integers(0, K_PARTS, ds.num_nodes)
     rand_cut = _cut_fraction(ds.graph, rand_part)
     assert rand_cut > 0.8
-    assert cut < 0.35, f"cut {cut:.3f} vs random {rand_cut:.3f}"
+    # round 3: label-prop initial partition + V-cycles reach the IDEAL cut
+    # (the planted noise fraction, ~0.087 here); the bar leaves seed room
+    assert cut < 0.12, f"cut {cut:.3f} vs random {rand_cut:.3f}"
     # balance: no part more than 2x the ideal size
     sizes = np.bincount(part, minlength=K_PARTS)
     assert sizes.max() <= 2 * ds.num_nodes / K_PARTS
