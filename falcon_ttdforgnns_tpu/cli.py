@@ -52,7 +52,7 @@ def main(argv=None):
 
     t0 = time.time()
     ds = get_dataset(args.dataset, synthetic_scale=args.synthetic_scale,
-                     seed=args.seed)
+                     seed=args.seed, official_split=args.official_split)
     logger.info(f"dataset {ds.name}: {ds.num_nodes} nodes, "
                 f"{ds.graph.num_edges} edges ({time.time() - t0:.1f}s)")
 

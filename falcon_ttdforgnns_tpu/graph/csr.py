@@ -251,6 +251,7 @@ def hard_synthetic_dataset(
     seed: int = 0,
     homophily: float = 0.8,
     name: str = "hard-synthetic",
+    split_counts: Optional[Tuple[int, int, int]] = None,
 ) -> NodeDataset:
     """Planted-partition graph whose labels REQUIRE graph propagation.
 
@@ -285,8 +286,17 @@ def hard_synthetic_dataset(
                                 num_nodes, add_reverse=True)
 
     perm = rng.permutation(num_nodes)
-    n_train = int(0.6 * num_nodes)
-    n_val = int(0.2 * num_nodes)
+    if split_counts is not None:
+        # OFFICIAL OGB split sizes — matched per-epoch work vs the
+        # reference (ogbn-products trains on 196,615 of 2.45M nodes; the
+        # default 60% split does 7.5x the work per epoch)
+        n_train, n_val, n_test = split_counts
+        if n_train + n_val + n_test > num_nodes:
+            raise ValueError("split_counts exceed num_nodes")
+        perm = perm[: n_train + n_val + n_test]
+    else:
+        n_train = int(0.6 * num_nodes)
+        n_val = int(0.2 * num_nodes)
     return NodeDataset(
         graph=graph,
         labels=comm,
@@ -304,6 +314,14 @@ DATASET_SCALES: Dict[str, dict] = {
     "ogbn-arxiv": dict(num_nodes=169_343, avg_degree=7, num_classes=40, feat_dim=128),
     "ogbn-products": dict(num_nodes=2_449_029, avg_degree=25, num_classes=47, feat_dim=100),
     "ogbn-papers100M": dict(num_nodes=111_059_956, avg_degree=15, num_classes=172, feat_dim=128),
+}
+
+# OFFICIAL OGB split sizes (get_idx_split counts) — --official-split runs
+# the synthetic stand-ins at the reference's exact per-epoch work
+OFFICIAL_SPLITS: Dict[str, Tuple[int, int, int]] = {
+    "ogbn-arxiv": (90_941, 29_799, 48_603),
+    "ogbn-products": (196_615, 39_323, 2_213_091),
+    "ogbn-papers100M": (1_207_179, 125_265, 214_338),
 }
 
 
@@ -404,10 +422,13 @@ def load_ogb_raw(name: str, root: str = "dataset") -> NodeDataset:
     )
 
 
-def get_dataset(name: str, synthetic_scale: float = 1.0, seed: int = 0, root: str = "dataset") -> NodeDataset:
+def get_dataset(name: str, synthetic_scale: float = 1.0, seed: int = 0,
+                root: str = "dataset", official_split: bool = False) -> NodeDataset:
     """OGB package, then raw OGB on-disk layout, then a synthetic graph at
     (scaled) matching size.  ``synthetic_scale < 1`` shrinks node count for
-    tests."""
+    tests.  ``official_split`` uses the dataset's OFFICIAL OGB split sizes
+    instead of 60/20/20 (synthetic paths only; real OGB data always carries
+    its own split) — matched per-epoch work for reference comparisons."""
     try:
         return load_ogb_dataset(name, root)
     except Exception:
@@ -426,7 +447,13 @@ def get_dataset(name: str, synthetic_scale: float = 1.0, seed: int = 0, root: st
     base = name[5:] if hard else name
     cfg = dict(DATASET_SCALES.get(base, dict(num_nodes=10_000, avg_degree=10, num_classes=16, feat_dim=64)))
     cfg["num_nodes"] = max(1000, int(cfg["num_nodes"] * synthetic_scale))
+    if official_split:
+        if base not in OFFICIAL_SPLITS:
+            raise ValueError(f"no official split sizes known for {base!r}")
+        if synthetic_scale != 1.0:
+            raise ValueError("--official-split needs the full-scale graph "
+                             "(synthetic_scale 1.0)")
+        cfg["split_counts"] = OFFICIAL_SPLITS[base]
     if hard:
-        cfg.pop("split_counts", None)
         return hard_synthetic_dataset(seed=seed, name=name, **cfg)
     return synthetic_dataset(seed=seed, name=name, **cfg)

@@ -53,6 +53,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "hardware rbg (cheaper dropout/sampling bits)")
     d.add_argument("--synthetic-scale", type=float, default=1.0,
                    help="shrink factor for synthetic fallback datasets")
+    d.add_argument("--official-split", action="store_true",
+                   help="use the dataset's OFFICIAL OGB split sizes on the "
+                        "synthetic stand-in (matched per-epoch work vs the "
+                        "reference; default is a 60/20/20 split)")
 
     # distributed
     dist = p.add_argument_group("distributed")

@@ -226,3 +226,25 @@ class TestTinySeedSets:
         assert len(batches) == 1
         assert batches[0].seeds.shape == (64,)
         assert set(batches[0].seeds.tolist()) <= set(ds.train_idx[:5].tolist())
+
+
+def test_official_split_sizes():
+    """--official-split: synthetic stand-ins at the OFFICIAL OGB split
+    counts (matched per-epoch work vs the reference; csr.OFFICIAL_SPLITS)."""
+    import numpy as np
+    from falcon_ttdforgnns_tpu.graph import get_dataset
+    from falcon_ttdforgnns_tpu.graph.csr import (hard_synthetic_dataset,
+                                                 OFFICIAL_SPLITS)
+    ds = get_dataset("hard-ogbn-arxiv", official_split=True)
+    assert (len(ds.train_idx), len(ds.val_idx), len(ds.test_idx)) == \
+        OFFICIAL_SPLITS["ogbn-arxiv"]
+    ds2 = hard_synthetic_dataset(num_nodes=5000, split_counts=(1000, 200, 300))
+    assert (len(ds2.train_idx), len(ds2.val_idx), len(ds2.test_idx)) == \
+        (1000, 200, 300)
+    assert len(np.intersect1d(ds2.train_idx, ds2.test_idx)) == 0
+    import pytest
+    with pytest.raises(ValueError):
+        get_dataset("hard-ogbn-arxiv", official_split=True,
+                    synthetic_scale=0.1)
+    with pytest.raises(ValueError):
+        hard_synthetic_dataset(num_nodes=100, split_counts=(90, 20, 30))
