@@ -152,7 +152,9 @@ def _fwd_chain(shapes: TTShapes, crT, out_ref=None, skip_last=False):
             seg = acc(S)
             if k == T - 1:
                 if out_ref is not None:
-                    out_ref[d * qk:(d + 1) * qk, :] = seg
+                    # out_ref may be bf16 (out_dtype): cast at store so the
+                    # whole h_all tensor ships at half the HBM bytes
+                    out_ref[d * qk:(d + 1) * qk, :] = seg.astype(out_ref.dtype)
             else:
                 for u in range(qk):
                     new_state.append(seg[u * r_out:(u + 1) * r_out, :])
@@ -251,7 +253,8 @@ def _bwd_kernel(shapes: TTShapes, block: int, compute_dtype, *refs):
     def emit(k, contrib):
         d_refs[k][:, :] += contrib
 
-    _bwd_chain(shapes, compute_dtype, crT, ohs, levels, dout_ref[:, :], emit)
+    _bwd_chain(shapes, compute_dtype, crT, ohs, levels,
+               dout_ref[:, :].astype(jnp.float32), emit)
 
 
 def _sgd_kernel(shapes: TTShapes, block: int, compute_dtype, lr: float,
@@ -277,7 +280,8 @@ def _sgd_kernel(shapes: TTShapes, block: int, compute_dtype, lr: float,
     def emit(k, contrib):
         o_refs[k][:, :] += (-lr) * contrib
 
-    _bwd_chain(shapes, compute_dtype, crT, ohs, levels, dout_ref[:, :], emit)
+    _bwd_chain(shapes, compute_dtype, crT, ohs, levels,
+               dout_ref[:, :].astype(jnp.float32), emit)
 
 
 def _adagrad_kernel(shapes: TTShapes, block: int, compute_dtype, lr: float,
@@ -311,7 +315,8 @@ def _adagrad_kernel(shapes: TTShapes, block: int, compute_dtype, lr: float,
     def emit(k, contrib):
         o_cores[k][:, :] += contrib
 
-    _bwd_chain(shapes, compute_dtype, crT, ohs, levels, dout_ref[:, :], emit)
+    _bwd_chain(shapes, compute_dtype, crT, ohs, levels,
+               dout_ref[:, :].astype(jnp.float32), emit)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _finalize():
@@ -385,11 +390,16 @@ def _tile_specs(shapes: TTShapes):
 def tt_lookup_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
                      block: int = 1024,
                      compute_dtype=None,
-                     interpret: Optional[bool] = None) -> jax.Array:
+                     interpret: Optional[bool] = None,
+                     out_dtype=None) -> jax.Array:
     """Fused forward lookup: (B,) int32 -> (B, D).  B must be a multiple of
     ``block`` (callers pad).  Supports 2-4 TT cores.
-    ``interpret`` defaults to True off-TPU (tests on CPU)."""
+    ``interpret`` defaults to True off-TPU (tests on CPU).
+    ``out_dtype`` (default f32): bf16 halves the HBM bytes of the output —
+    at products scale h_all is 375 MB f32 and every downstream layout
+    copy/reduce pays those bytes again (measured, logs/r3_profile.log)."""
     compute_dtype, interpret = _resolve(compute_dtype, interpret)
+    out_dtype = out_dtype or jnp.float32
     if shapes.ndim not in (2, 3, 4):
         raise ValueError("pallas kernel supports 2-4 core TT")
     B = indices.shape[0]
@@ -409,7 +419,7 @@ def tt_lookup_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * shapes.ndim,
         out_specs=pl.BlockSpec((shapes.embedding_dim, block),
                                lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((shapes.embedding_dim, B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((shapes.embedding_dim, B), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=B * 4 + B * shapes.embedding_dim * 4,
@@ -423,12 +433,14 @@ def tt_lookup_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
 def tt_lookup_pallas_padded(shapes: TTShapes, cores: Cores,
                             indices: jax.Array, block: int = 1024,
                             compute_dtype=None,
-                            interpret: Optional[bool] = None) -> jax.Array:
+                            interpret: Optional[bool] = None,
+                            out_dtype=None) -> jax.Array:
     """Arbitrary-length wrapper: pads B up to a block multiple."""
     B = indices.shape[0]
     pad = (-B) % block
     idx = jnp.pad(indices, (0, pad)) if pad else indices
-    out = tt_lookup_pallas(shapes, cores, idx, block, compute_dtype, interpret)
+    out = tt_lookup_pallas(shapes, cores, idx, block, compute_dtype,
+                           interpret, out_dtype)
     return out[:B]
 
 
@@ -451,7 +463,8 @@ def tt_grads_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
     n_blocks = B // block
 
     cts = _core_unfoldings(shapes, cores, compute_dtype, last_u_major=True)
-    doutT = d_out.T.astype(jnp.float32)  # (D, B)
+    doutT = (d_out.T if d_out.dtype == jnp.bfloat16
+             else d_out.T.astype(jnp.float32))  # bf16 ships half the bytes; kernels cast in-VMEM
     specs, shp = _tile_specs(shapes)
 
     tiles = pl.pallas_call(
@@ -503,6 +516,40 @@ def _fused_bwd(shapes, block, res, d_out):
 tt_lookup_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def tt_lookup_fused_bf16(shapes: TTShapes, block: int, cores: Cores,
+                         indices: jax.Array) -> jax.Array:
+    """bf16-I/O variant of :func:`tt_lookup_fused`: the kernel STORES h_all
+    in bfloat16 and the backward consumes the bf16 cotangent natively —
+    at products scale h_all/d_h are 375 MB each in f32 and the step's
+    non-kernel remainder is dominated by layout copies over exactly these
+    bytes (logs/r3_profile.log); halving them halves that traffic.  Core
+    params and gradients stay f32."""
+    return tt_lookup_pallas_padded(shapes, cores, indices, block,
+                                   out_dtype=jnp.bfloat16)
+
+
+def _fused_bf16_fwd(shapes, block, cores, indices):
+    return (tt_lookup_fused_bf16(shapes, block, cores, indices),
+            (cores, indices))
+
+
+def _fused_bf16_bwd(shapes, block, res, d_out):
+    cores, indices = res
+    B = indices.shape[0]
+    pad = (-B) % block
+    if pad:
+        indices = jnp.pad(indices, (0, pad))
+        d_out = jnp.pad(d_out, ((0, pad), (0, 0)))
+    # d_out arrives bf16 (cotangent of a bf16 primal); tt_grads_pallas
+    # ships it at half the bytes and casts in-VMEM
+    grads = tt_grads_pallas(shapes, cores, indices, d_out, block)
+    return grads, None
+
+
+tt_lookup_fused_bf16.defvjp(_fused_bf16_fwd, _fused_bf16_bwd)
+
+
 # ---------------------------------------------------------------------------
 # fused in-kernel SGD: recompute-backward + core update in one kernel pass
 # (the reference's fused sparse optimizer, `update_tt_cores_sgd_kernel` +
@@ -533,7 +580,8 @@ def tt_fused_sgd_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
     # master weights enter the kernel in f32 (the compute copy is cast
     # in-kernel); bf16-casting here would quantize the weights every step
     cts = _core_unfoldings(shapes, cores, jnp.float32, last_u_major=True)
-    doutT = d_out.T.astype(jnp.float32)
+    doutT = (d_out.T if d_out.dtype == jnp.bfloat16
+             else d_out.T.astype(jnp.float32))  # bf16 ships half the bytes; kernels cast in-VMEM
     specs, shp = _tile_specs(shapes)
 
     tiles = pl.pallas_call(
@@ -600,7 +648,8 @@ def tt_fused_adagrad_pallas(shapes: TTShapes, cores: Cores, accs: Cores,
     else:
         accT = _core_unfoldings(shapes, accs, jnp.float32, last_u_major=True)
         acc_rows = [_core_rows(shapes, k) for k in range(shapes.ndim)]
-    doutT = d_out.T.astype(jnp.float32)
+    doutT = (d_out.T if d_out.dtype == jnp.bfloat16
+             else d_out.T.astype(jnp.float32))  # bf16 ships half the bytes; kernels cast in-VMEM
     core_specs, core_shp = _tile_specs(shapes)
     acc_specs = tuple(
         pl.BlockSpec((acc_rows[k], shapes.p_shapes[k]), lambda i: (0, 0),

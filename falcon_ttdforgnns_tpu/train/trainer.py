@@ -490,7 +490,8 @@ class SageTrainer:
         # params only — the fused kernel uses the fixed cfg.lr, matching
         # the reference's fixed in-kernel lr.
         from ..models.sage import SAGE, collect_level_ids
-        from ..ops.tt_pallas import (tt_lookup_fused, tt_fused_sgd_pallas,
+        from ..ops.tt_pallas import (tt_lookup_fused, tt_lookup_fused_bf16,
+                                     tt_fused_sgd_pallas,
                                      tt_fused_adagrad_pallas)
         from ..ops.tt_shapes import make_tt_shapes
         shapes = make_tt_shapes(self.ds.num_nodes, self.ds.feat_dim,
@@ -507,8 +508,13 @@ class SageTrainer:
             cores = tuple(params["embed"][f"tt_core_{k}"]
                           for k in range(shapes.ndim))
             all_ids, _, _ = collect_level_ids(seeds, layers)
+            # --bf16: the kernel stores h_all in bf16 and the backward
+            # consumes the bf16 d_h natively — halves the HBM bytes of the
+            # step's dominant non-kernel traffic (the 375 MB h_all/d_h
+            # tensors and their layout copies; logs/r3_profile.log)
+            lookup = tt_lookup_fused_bf16 if cfg.bf16 else tt_lookup_fused
             h_all = jax.lax.stop_gradient(
-                tt_lookup_fused(shapes, block, cores, all_ids.astype(jnp.int32)))
+                lookup(shapes, block, cores, all_ids.astype(jnp.int32)))
 
             def loss_fn(p, h):
                 out, mutated = model.apply(

@@ -44,7 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 VARIANTS = ("full", "dropout0", "noopt", "noconv", "nolookup", "bf16drop0",
-            "tower", "nomean", "meanonly", "towerfwd")
+            "tower", "nomean", "meanonly", "towerfwd", "ttower")
 
 
 def build(variant, S):
@@ -124,6 +124,45 @@ def build(variant, S):
             out = out[:, :ncls]
         return out
 
+    # TRANSPOSED (feature-major) tower: the Pallas lookup kernel natively
+    # produces h_allT (D, B·sz) and the backward kernel natively consumes
+    # doutT — the row-major tower in between forces XLA into ~8.6 ms of
+    # layout copies around the 768K-row level (slice+copy+reshape fwd, the
+    # inverse chain bwd, plus the d_out transpose; see logs/r3_profile.log).
+    # Running the tower feature-major consumes the kernel output as-is and
+    # hands the cotangent back in kernel layout.  Same math: dot_general
+    # contracts the leading feature axis on the MXU; means reduce the
+    # minor-most fanout axis.
+    def ttower_forward(params, hT, sizes, B, rng):
+        hsT, off = [], 0
+        for sz in sizes:
+            hsT.append(hT[:, off:off + sz * B].reshape(-1, B, sz))
+            off += sz * B
+        for li in range(n_layers):
+            new_hs = []
+            for lev in range(len(hsT) - 1):
+                f = hsT[lev + 1].shape[2] // hsT[lev].shape[2]
+                n = hsT[lev].shape[2]
+                r = hsT[lev + 1].reshape(-1, B, n, f)
+                h_neigh = r.mean(axis=3)
+                wl = params[f"conv_{li}"]
+                # (d,256) x (d,B,n) -> (256,B,n): contract the leading axis
+                h = (jnp.einsum("do,dbn->obn", wl["self"]["kernel"], hsT[lev])
+                     + wl["self"]["bias"][:, None, None]
+                     + jnp.einsum("do,dbn->obn", wl["neigh"]["kernel"],
+                                  h_neigh))
+                if li < n_layers - 1:
+                    h = jax.nn.relu(h)
+                    if cfg.dropout > 0:
+                        keep = 1.0 - cfg.dropout
+                        mask = jax.random.bernoulli(
+                            jax.random.fold_in(rng, li * 8 + lev), keep,
+                            h.shape)
+                        h = jnp.where(mask, h / keep, 0.0)
+                new_hs.append(h)
+            hsT = new_hs
+        return hsT[0][:, :, 0].T  # (B, num_classes)
+
     # surgical bodies (modeled on trainer._make_step_body(fused=True))
     def make_body():
         def body(variables, opt_state, seeds, layers, labels, rng):
@@ -133,6 +172,36 @@ def build(variant, S):
             cores = tuple(params["embed"][f"tt_core_{k}"]
                           for k in range(shapes.ndim))
             all_ids, _, _ = collect_level_ids(seeds, layers)
+
+            if variant == "ttower":
+                # kernel-layout end to end: .T of the lookup's .T folds to
+                # the raw (D, B) kernel output; d_hT.T inside the fused-SGD
+                # wrapper folds back to d_hT — zero layout copies
+                _, sizes, B = collect_level_ids(seeds, layers)
+                h_allT = jax.lax.stop_gradient(
+                    tt_lookup_fused(shapes, block, cores,
+                                    all_ids.astype(jnp.int32))).T
+
+                def loss_fn(p, hT):
+                    out = ttower_forward(p, hT, sizes, B, rng)
+                    loss = optax.softmax_cross_entropy_with_integer_labels(
+                        out, labels).mean()
+                    return loss, (out, {})
+
+                (loss, _), (grads, d_hT) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True)(params, h_allT)
+                updates, new_opt_state = tx.update(grads, opt_state, params,
+                                                   value=loss)
+                new_params = optax.apply_updates(params, updates)
+                new_cores = tt_fused_sgd_pallas(shapes, cores,
+                                                all_ids.astype(jnp.int32),
+                                                d_hT.T, lr, block)
+                embed = dict(new_params["embed"])
+                for k in range(shapes.ndim):
+                    embed[f"tt_core_{k}"] = new_cores[k]
+                new_params = {**new_params, "embed": embed}
+                new_vars = {"params": new_params, **aux_cols}
+                return new_vars, new_opt_state, loss, jnp.float32(0)
 
             if variant == "nolookup":
                 h_all = jnp.ones((all_ids.shape[0], shapes.embedding_dim),

@@ -229,3 +229,32 @@ def test_fused_adagrad_state_accumulates(case):
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(c2[k]), np.asarray(w_ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_bf16_lookup_and_grads(case):
+    """tt_lookup_fused_bf16: bf16 output close to the f32 path; the bf16
+    cotangent reaches the same core grads (within bf16 quantization)."""
+    from falcon_ttdforgnns_tpu.ops.tt_pallas import (tt_lookup_fused,
+                                                     tt_lookup_fused_bf16)
+    shapes, cores = case
+    idx = jnp.asarray(np.random.default_rng(50).integers(
+        0, shapes.num_embeddings, 256).astype(np.int32))
+    out16 = tt_lookup_fused_bf16(shapes, 128, cores, idx)
+    out32 = tt_lookup_fused(shapes, 128, cores, idx)
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out16, np.float32),
+                               np.asarray(out32), rtol=2e-2, atol=2e-2)
+
+    def loss16(cs):
+        return jnp.sum(tt_lookup_fused_bf16(shapes, 128, cs, idx)
+                       .astype(jnp.float32) ** 2)
+
+    def loss32(cs):
+        return jnp.sum(tt_lookup_fused(shapes, 128, cs, idx) ** 2)
+
+    g16 = jax.grad(loss16)(cores)
+    g32 = jax.grad(loss32)(cores)
+    for a, b in zip(g16, g32):
+        assert a.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-1)
