@@ -147,7 +147,15 @@ class SAGE(nn.Module):
             for lev in range(len(hs) - 1):
                 f = hs[lev + 1].shape[1] // hs[lev].shape[1]
                 d = hs[lev].shape[-1]
-                h_neigh = hs[lev + 1].reshape(B, hs[lev].shape[1], f, d).mean(axis=2)
+                # dtype pin: jnp.mean silently upcasts bf16 inputs to f32
+                # for accumulation, materializing the biggest fanout level
+                # as an f32 copy (307 MB at products scale — measured
+                # 3.8 ms/step of convert+copy+reshape, logs/r3_profile.log).
+                # Under --bf16 the ~1e-2 accumulation error over <=15 terms
+                # is within the opt-in's precision contract.
+                h_neigh = (hs[lev + 1]
+                           .reshape(B, hs[lev].shape[1], f, d)
+                           .mean(axis=2, dtype=hs[lev + 1].dtype))
                 h = conv(hs[lev], h_neigh)
                 if li < self.num_layers - 1:
                     h = nn.relu(h)

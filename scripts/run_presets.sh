@@ -27,6 +27,12 @@ case "$PRESET" in
     "${PY[@]}" --model sage --dataset ogbn-products --use-tt \
       --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 5,5,4 \
       --partition -2 --sparse --batch 1024 --fan-out 5,10,15 --epochs 2 ;;
+  final-p2-bf16)      # fastest measured step: + bf16 kernel-I/O tower
+    # (27.4 ms/step vs 33.5 f32, round 3; opt-in precision contract)
+    "${PY[@]}" --model sage --dataset ogbn-products --use-tt \
+      --tt-rank 16,16 --p-shapes 125,140,140 --q-shapes 5,5,4 \
+      --partition -2 --sparse --bf16 --batch 1024 --fan-out 5,10,15 \
+      --epochs 2 ;;
   gcn)                # full-graph GCN arxiv (run_script.sh gcn preset)
     "${PY[@]}" --model gcn --dataset ogbn-arxiv --use-tt \
       --tt-rank 16,16 --p-shapes 50,60,60 --q-shapes 8,4,4 \
@@ -86,6 +92,6 @@ case "$PRESET" in
       --tt-rank 4,4 --init normal --epochs 2 --eval-every 2 --partition 4 ;;
   *)
     echo "unknown preset: $PRESET" >&2
-    echo "presets: baseline fbtt-products final-p final-p2 gcn gat final-papers papers-rehearsal autotuning dist puregpu sparse-fused full-neighbor node-shard run-one smoke" >&2
+    echo "presets: baseline fbtt-products final-p final-p2 final-p2-bf16 gcn gat final-papers papers-rehearsal autotuning dist puregpu sparse-fused full-neighbor node-shard run-one smoke" >&2
     exit 1 ;;
 esac

@@ -25,8 +25,10 @@ import numpy as np
 
 
 def main():
-    S = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    logdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/jax_trace_r3"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    bf16 = "--bf16" in sys.argv
+    S = int(args[0]) if args else 48
+    logdir = args[1] if len(args) > 1 else "/tmp/jax_trace_r3"
 
     import jax
     import jax.numpy as jnp
@@ -38,7 +40,7 @@ def main():
                       hidden_dim=256, num_layers=3, use_tt=True,
                       tt_ranks=(16, 16), p_shapes=(125, 140, 140),
                       q_shapes=(5, 5, 4), weight_dist="approx-normal",
-                      steps_per_call=S, sparse=True,
+                      steps_per_call=S, sparse=True, bf16=bf16,
                       eval_every=10**9, log_every=10**9)
     tr = SageTrainer(ds, cfg)
     it = iter(tr.loader)
