@@ -450,10 +450,15 @@ def get_dataset(name: str, synthetic_scale: float = 1.0, seed: int = 0,
     if official_split:
         if base not in OFFICIAL_SPLITS:
             raise ValueError(f"no official split sizes known for {base!r}")
-        if synthetic_scale != 1.0:
-            raise ValueError("--official-split needs the full-scale graph "
-                             "(synthetic_scale 1.0)")
-        cfg["split_counts"] = OFFICIAL_SPLITS[base]
+        counts = OFFICIAL_SPLITS[base]
+        # a scaled-down graph may still carry the official split counts
+        # (papers100M at half scale keeps the real 1.2M-seed epochs) — the
+        # only hard requirement is that the splits fit the node count
+        if sum(counts) > cfg["num_nodes"]:
+            raise ValueError(
+                f"official split sizes {counts} exceed the scaled graph "
+                f"({cfg['num_nodes']} nodes); raise --synthetic-scale")
+        cfg["split_counts"] = counts
     if hard:
         return hard_synthetic_dataset(seed=seed, name=name, **cfg)
     return synthetic_dataset(seed=seed, name=name, **cfg)

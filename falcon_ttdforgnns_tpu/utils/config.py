@@ -89,8 +89,13 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     # TT embedding (tt_utils.py:49-66)
     t = p.add_argument_group("tt")
     t.add_argument("--bf16", action="store_true",
-                   help="conv-tower activations in bfloat16 (params/cores "
-                        "stay f32; halves the step's dominant HBM traffic)")
+                   help="SAGE: bf16 activations end-to-end — the fused "
+                        "lookup kernel stores h_all in bf16, the tower and "
+                        "fanout means run bf16, the backward kernel "
+                        "consumes the bf16 cotangent natively (params/"
+                        "cores/grads stay f32). 33.5 -> 27.4 ms/step at "
+                        "products config. Scope: sampled-SAGE trainers "
+                        "only; full-graph gcn/gat run f32")
     t.add_argument("--use-tt", action="store_true", default=True)
     t.add_argument("--no-tt", dest="use_tt", action="store_false")
     t.add_argument("--tt-rank", type=_int_list, default=[16, 16])
