@@ -84,12 +84,11 @@ def main(argv=None):
                     "normal", "uniform", "naive-uniform", "approx-normal",
                     "approx-uniform") else "approx-normal",
                 cache_size=args.cache_size if args.use_cached else 0,
-                # --sparse defaults the cores to fused SGD; an explicit
-                # adagrad/rowwise_adagrad keeps its semantics and routes to
-                # the fused adagrad kernel (tt_fused_adagrad_pallas)
-                tt_optimizer=("sgd" if args.sparse
-                              and args.tt_optimizer == "adam"
-                              else args.tt_optimizer),
+                # sparse-mode optimizer normalization (adam -> fused sgd;
+                # explicit adagrad flavors -> fused adagrad kernel) lives
+                # in SageTrainer.__init__ so programmatic TrainConfig users
+                # get identical routing
+                tt_optimizer=args.tt_optimizer,
                 sparse=args.sparse,
                 batch_count=args.batch_count,
                 spmm=args.spmm,

@@ -422,7 +422,8 @@ def tt_lookup_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
         out_shape=jax.ShapeDtypeStruct((shapes.embedding_dim, B), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=B * 4 + B * shapes.embedding_dim * 4,
+            bytes_accessed=(B * 4 + B * shapes.embedding_dim
+                            * jnp.dtype(out_dtype).itemsize),
             transcendentals=0),
         compiler_params=_compiler_params(block),
         interpret=interpret,

@@ -149,20 +149,24 @@ def ring_spmm(mesh: Mesh, h: jax.Array, src_b: jax.Array, dst_b: jax.Array,
 class RaggedRingLayout:
     """Host-side ragged edge layout for :func:`ring_spmm_ragged`.
 
-    ``src_r``/``dst_r``/``w_r`` are (S, E_pad): row d holds dst-shard d's
+    ``src_r``/``dst_r`` are (S, E_pad): row d holds dst-shard d's
     edges, grouped by src block in ROTATION order (src block (d+i) % S at
     chunk offsets [chunk_offs[d, i], chunk_offs[d, i+1])), each bucket
-    padded to a ``chunk`` multiple; the final chunk of every row is all
-    w=0 (the redirect target for shards with fewer chunks at a step).
-    Indices are block-local storage rows.  ``row_of[v]`` is node v's
-    storage row (shard = row // block); ``node_at[r]`` inverts it (pad
-    rows clamped to 0).  ``max_chunks[i]`` is the static (max over
-    shards) chunk count of rotation step i.
+    padded to a ``chunk`` multiple; the final chunk of every row is the
+    redirect target for shards with fewer chunks at a step.  ``nreal``
+    (S, S) holds each (dst-shard, rotation) bucket's REAL edge count —
+    the in-kernel mask `pos < nreal` replaces a round-2 (S, E_pad) f32
+    0/1 weight array that cost O(E) extra host+device memory (6.7 GB at
+    papers100M scale) purely to zero the tail padding.  Indices are
+    block-local storage rows.  ``row_of[v]`` is node v's storage row
+    (shard = row // block); ``node_at[r]`` inverts it (pad rows clamped
+    to 0).  ``max_chunks[i]`` is the static (max over shards) chunk
+    count of rotation step i.
     """
 
     src_r: np.ndarray
     dst_r: np.ndarray
-    w_r: np.ndarray
+    nreal: np.ndarray
     chunk_offs: np.ndarray
     max_chunks: Tuple[int, ...]
     chunk: int
@@ -247,7 +251,6 @@ def partition_edges_ragged(src: np.ndarray, dst: np.ndarray, num_nodes: int,
 
     src_r = np.zeros((S, e_pad), np.int32)
     dst_r = np.zeros((S, e_pad), np.int32)
-    w_r = np.zeros((S, e_pad), np.float32)
     chunk_offs = np.zeros((S, S + 1), np.int32)
     bucket_starts = np.concatenate([[0], np.cumsum(counts.reshape(-1))])
     for d in range(S):
@@ -258,36 +261,40 @@ def partition_edges_ragged(src: np.ndarray, dst: np.ndarray, num_nodes: int,
             if n:
                 src_r[d, pos:pos + n] = src_l[bucket_starts[b]:bucket_starts[b + 1]]
                 dst_r[d, pos:pos + n] = dst_l[bucket_starts[b]:bucket_starts[b + 1]]
-                w_r[d, pos:pos + n] = 1.0
             pos += int(nchunks[d, i]) * chunk
             chunk_offs[d, i + 1] = pos // chunk
     max_chunks = tuple(int(c) for c in nchunks.max(axis=0))
     node_at = np.zeros(S * block, np.int32)
     node_at[row_of] = np.arange(num_nodes, dtype=np.int32)
-    return RaggedRingLayout(src_r, dst_r, w_r, chunk_offs, max_chunks,
+    return RaggedRingLayout(src_r, dst_r, counts.astype(np.int32),
+                            chunk_offs, max_chunks,
                             chunk, block, S, E, row_of, node_at)
 
 
 def ring_spmm_ragged(mesh: Mesh, h: jax.Array, src_r: jax.Array,
-                     dst_r: jax.Array, w_r: jax.Array, chunk_offs: jax.Array,
+                     dst_r: jax.Array, nreal: jax.Array,
+                     chunk_offs: jax.Array,
                      max_chunks: Tuple[int, ...], chunk: int,
                      axis: str = "node") -> jax.Array:
-    """out[r] = sum_{(u->v): row_of[v]=r} w * h[row_of[u]] over the ragged
+    """out[r] = sum_{(u->v): row_of[v]=r} h[row_of[u]] over the ragged
     layout; h is (S*block, D) row-sharded over ``axis``.
 
     Same ring as :func:`ring_spmm` (local block first, then S-1
     ``ppermute`` rotations), but each step consumes its shard's bucket as
     ``max_chunks[i]`` fixed-size chunks via ``dynamic_slice``: shards with
     fewer real chunks at a step redirect the excess reads to the final
-    all-zero-weight chunk, so the program stays SPMD-uniform and
-    reverse-mode differentiable (scan + gather/scatter-add, no
-    while_loop)."""
+    padding chunk, and an in-kernel ``pos < nreal[i]`` iota mask zeroes
+    the tail padding (``nreal`` is the tiny (S, S) per-bucket real-edge
+    count — NOT an O(E) weight array).  SPMD-uniform and reverse-mode
+    differentiable (scan + gather/scatter-add, no while_loop)."""
     S = mesh.shape[axis]
     e_pad = src_r.shape[-1]
     zero_off = e_pad - chunk
+    pos_iota = jnp.arange(chunk, dtype=jnp.int32)
 
-    def body(h_blk, my_src, my_dst, my_w, my_offs):
-        my_src, my_dst, my_w = my_src[0], my_dst[0], my_w[0]
+    def body(h_blk, my_src, my_dst, my_nreal, my_offs):
+        my_src, my_dst = my_src[0], my_dst[0]
+        my_nreal = my_nreal[0]
         my_offs = my_offs[0]
 
         def consume(acc, rot, i):
@@ -296,13 +303,17 @@ def ring_spmm_ragged(mesh: Mesh, h: jax.Array, src_r: jax.Array,
                 return acc
             start = my_offs[i]
             n_mine = my_offs[i + 1] - start
+            n_real = my_nreal[i]
 
             def one(acc, j):
                 off = jnp.where(j < n_mine, (start + j) * chunk, zero_off)
                 s = jax.lax.dynamic_slice(my_src, (off,), (chunk,))
                 d = jax.lax.dynamic_slice(my_dst, (off,), (chunk,))
-                w = jax.lax.dynamic_slice(my_w, (off,), (chunk,))
-                acc = acc.at[d].add(jnp.take(rot, s, axis=0) * w[:, None])
+                # tail-padding mask; redirected chunks (j >= n_mine) have
+                # j*chunk >= n_real so the mask is all-false there too
+                valid = (j * chunk + pos_iota) < n_real
+                acc = acc.at[d].add(jnp.where(valid[:, None],
+                                              jnp.take(rot, s, axis=0), 0.0))
                 return acc, None
 
             acc, _ = jax.lax.scan(one, acc, jnp.arange(n_static, dtype=jnp.int32))
@@ -325,7 +336,7 @@ def ring_spmm_ragged(mesh: Mesh, h: jax.Array, src_r: jax.Array,
         in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis, None),
                   P(axis, None)),
         out_specs=P(axis, None))
-    return f(h, src_r, dst_r, w_r, chunk_offs)
+    return f(h, src_r, dst_r, nreal, chunk_offs)
 
 
 def sharded_layerwise_inference(mesh: Mesh, model_apply, variables,
@@ -344,7 +355,7 @@ def sharded_layerwise_inference(mesh: Mesh, model_apply, variables,
 
 
 def sharded_layerwise_inference_ragged(mesh: Mesh, model_apply, variables,
-                                       h0: jax.Array, src_r, dst_r, w_r,
+                                       h0: jax.Array, src_r, dst_r, nreal,
                                        chunk_offs,
                                        max_chunks: Tuple[int, ...],
                                        chunk: int, in_deg: jax.Array,
@@ -354,7 +365,7 @@ def sharded_layerwise_inference_ragged(mesh: Mesh, model_apply, variables,
     h = h0
     deg = jnp.maximum(in_deg, 1.0)[:, None]
     for li in range(num_layers):
-        agg = ring_spmm_ragged(mesh, h, src_r, dst_r, w_r, chunk_offs,
+        agg = ring_spmm_ragged(mesh, h, src_r, dst_r, nreal, chunk_offs,
                                max_chunks, chunk, axis) / deg
         h = model_apply(variables, h, agg, li)
     return h
@@ -394,7 +405,7 @@ def make_node_sharded_full_step(model, tx, mesh: Mesh, num_layers: int,
     repl = NamedSharding(mesh, P())
     rows = NamedSharding(mesh, P(axis, None))
 
-    def step(variables, opt_state, src_r, dst_r, w_r, chunk_offs, node_at,
+    def step(variables, opt_state, src_r, dst_r, nreal, chunk_offs, node_at,
              in_deg, seed_rows, labels, rng):
         params = variables["params"]
         aux = {k: v for k, v in variables.items() if k != "params"}
@@ -405,7 +416,7 @@ def make_node_sharded_full_step(model, tx, mesh: Mesh, num_layers: int,
                             method=type(model).materialize_features)
             h = jax.lax.with_sharding_constraint(h, rows)
             for li in range(num_layers):
-                agg = ring_spmm_ragged(mesh, h, src_r, dst_r, w_r,
+                agg = ring_spmm_ragged(mesh, h, src_r, dst_r, nreal,
                                        chunk_offs, max_chunks, chunk,
                                        axis) / deg
                 h = model.apply({"params": p, **aux}, h, agg, li,

@@ -183,7 +183,12 @@ class SageTrainer:
             precomputed_cores=precomputed_cores,
             batch_count=cfg.batch_count,
             grouped=cfg.grouped,
-            bf16=cfg.bf16,
+            # --bf16's precision contract covers the sampled tower only
+            # (<=15-term fanout means); full-neighbor training aggregates
+            # over TRUE node degrees (thousands of bf16 sum terms at scale)
+            # and the ring-SpMM accumulates f32 into the carry — scope the
+            # flag to the sampled trainers and run full-neighbor in f32
+            bf16=cfg.bf16 and cfg.use_sample,
             # with in-jit sampling the host loader never runs, so the
             # device-side LFU counters are the only frequency source
             device_freq=(cfg.mode == "puregpu" and cfg.cache_size > 0),
@@ -336,9 +341,11 @@ class SageTrainer:
         return n_data
 
     def _want_fused_sparse(self) -> bool:
-        """--sparse routes TT-core updates through the fused Pallas
-        backward+SGD kernel when the config supports it (3-core TT, no row
-        cache); otherwise sparse mode falls back to routed optax SGD."""
+        """--sparse routes TT-core updates through a fused Pallas kernel —
+        backward+SGD (`tt_fused_sgd_pallas`) or backward+adagrad /
+        rowwise-adagrad (`tt_fused_adagrad_pallas`) — when the config
+        supports it (2-4-core TT, no row cache); otherwise sparse mode
+        falls back to the routed optax optimizer."""
         cfg = self.cfg
         if not (cfg.sparse and cfg.use_tt and cfg.cache_size == 0):
             return False
@@ -395,28 +402,14 @@ class SageTrainer:
             # sharded placement only — the ragged layout stores O(E + S^2 *
             # chunk) edges with block-LOCAL (int32-safe) indices, per-shard
             # totals balanced by in-degree so papers100M skew cannot blow
-            # up memory (VERDICT r2 item 2)
-            from ..parallel.node_sharding import partition_edges_ragged
-            src, dst = g.to_coo()
-            # ring width = the mesh's 'node' axis (on a hybrid data x node
-            # mesh that is fewer than the device count)
+            # up memory (VERDICT r2 item 2).
+            # Ring width = the mesh's 'node' axis (on a hybrid data x node
+            # mesh that is fewer than the device count).
             n_ring = (self._nshard_mesh.shape["node"]
                       if getattr(self, "_nshard_mesh", None) is not None
                       else (cfg.num_chips if cfg.num_chips > 0
                             else jax.device_count()))
-            lay = partition_edges_ragged(
-                src.astype(np.int64), dst.astype(np.int64),
-                g.num_nodes, n_ring)
-            self._nshard_layout = lay
-            self._nshard_dev = (jnp.asarray(lay.src_r),
-                                jnp.asarray(lay.dst_r),
-                                jnp.asarray(lay.w_r),
-                                jnp.asarray(lay.chunk_offs),
-                                jnp.asarray(lay.node_at))
-            deg_pad = np.ones((lay.num_rows_padded,), np.float32)
-            deg_pad[lay.row_of] = g.degrees
-            self._nshard_deg = jnp.asarray(deg_pad)
-            self._nshard_pad = lay.num_rows_padded
+            self._ensure_nshard_layout(n_ring)
             return
 
         guard_int32("--node-shard (per-shard edge blocks stay below 2^31)")
@@ -424,6 +417,32 @@ class SageTrainer:
         self._src_dev = jnp.asarray(src.astype(np.int32))
         self._dst_dev = jnp.asarray(dst.astype(np.int32))
         self._indeg_dev = jnp.asarray(g.degrees.astype(np.float32))
+
+    def _ensure_nshard_layout(self, n_ring: int):
+        """Build (once) the ragged node-sharded edge layout + device
+        arrays + padded degrees for ``n_ring`` shards.  Shared by training
+        placement and sampled-mode sharded inference so the two paths can
+        never diverge on chunk sizing / balance flags."""
+        lay = getattr(self, "_nshard_layout", None)
+        if lay is not None:
+            return lay
+        from ..parallel.node_sharding import partition_edges_ragged
+        g = self.ds.graph
+        src, dst = g.to_coo()
+        lay = partition_edges_ragged(src.astype(np.int64),
+                                     dst.astype(np.int64),
+                                     g.num_nodes, n_ring)
+        self._nshard_layout = lay
+        self._nshard_dev = (jnp.asarray(lay.src_r),
+                            jnp.asarray(lay.dst_r),
+                            jnp.asarray(lay.nreal),
+                            jnp.asarray(lay.chunk_offs),
+                            jnp.asarray(lay.node_at))
+        deg_pad = np.ones((lay.num_rows_padded,), np.float32)
+        deg_pad[lay.row_of] = g.degrees
+        self._nshard_deg = jnp.asarray(deg_pad)
+        self._nshard_pad = lay.num_rows_padded
+        return lay
 
     def _dummy_batch(self):
         B = self.cfg.batch_size
@@ -966,26 +985,14 @@ class SageTrainer:
         (tests/test_parallel.py)."""
         from ..models.sage import SAGE
         from ..parallel import make_mesh
-        from ..parallel.node_sharding import (partition_edges_ragged,
-                                              sharded_layerwise_inference_ragged)
+        from ..parallel.node_sharding import sharded_layerwise_inference_ragged
         ds, cfg = self.ds, self.cfg
         n_dev = cfg.num_chips if cfg.num_chips > 0 else jax.device_count()
         mesh = getattr(self, "_nshard_mesh", None)
         if mesh is None:
             mesh = make_mesh(n_data=1, n_node=n_dev,
                              devices=jax.devices()[:n_dev])
-        lay = getattr(self, "_nshard_layout", None)
-        if lay is None:
-            src, dst = ds.graph.to_coo()
-            lay = partition_edges_ragged(
-                src.astype(np.int64), dst.astype(np.int64), ds.num_nodes,
-                n_dev)
-            self._nshard_layout = lay
-            self._nshard_dev = (jnp.asarray(lay.src_r),
-                                jnp.asarray(lay.dst_r),
-                                jnp.asarray(lay.w_r),
-                                jnp.asarray(lay.chunk_offs),
-                                jnp.asarray(lay.node_at))
+        lay = self._ensure_nshard_layout(mesh.shape["node"])
         mat = jax.jit(lambda v, ids: self.model.apply(
             v, ids, method=SAGE.materialize_features))
         chunks = [
@@ -1003,10 +1010,10 @@ class SageTrainer:
             return self.model.apply(variables, h_dst, agg, li,
                                     method=SAGE.apply_conv)
 
-        src_r, dst_r, w_r, chunk_offs, _ = self._nshard_dev
+        src_r, dst_r, nreal, chunk_offs, _ = self._nshard_dev
         out = sharded_layerwise_inference_ragged(
             mesh, model_apply, self.variables, jnp.asarray(h),
-            src_r, dst_r, w_r, chunk_offs, lay.max_chunks, lay.chunk,
+            src_r, dst_r, nreal, chunk_offs, lay.max_chunks, lay.chunk,
             jnp.asarray(deg), cfg.num_layers)
         return np.asarray(out)[lay.row_of]
 

@@ -123,7 +123,7 @@ class TestRaggedRingSpmm:
         mesh = make_mesh(n_data=1, n_node=8)
         out = ring_spmm_ragged(mesh, jnp.asarray(h_pad),
                                jnp.asarray(lay.src_r), jnp.asarray(lay.dst_r),
-                               jnp.asarray(lay.w_r),
+                               jnp.asarray(lay.nreal),
                                jnp.asarray(lay.chunk_offs), lay.max_chunks,
                                lay.chunk)
         np.testing.assert_allclose(np.asarray(out)[lay.row_of], ref,
@@ -139,7 +139,7 @@ class TestRaggedRingSpmm:
         h_pad[lay.row_of] = h
         mesh = make_mesh(n_data=1, n_node=8)
         args = (jnp.asarray(lay.src_r), jnp.asarray(lay.dst_r),
-                jnp.asarray(lay.w_r), jnp.asarray(lay.chunk_offs))
+                jnp.asarray(lay.nreal), jnp.asarray(lay.chunk_offs))
 
         def loss(hp):
             o = ring_spmm_ragged(mesh, hp, *args, lay.max_chunks, lay.chunk)
@@ -178,7 +178,7 @@ class TestRaggedRingSpmm:
         mesh = make_mesh(n_data=1, n_node=8)
         out = ring_spmm_ragged(mesh, jnp.asarray(h_pad),
                                jnp.asarray(lay.src_r), jnp.asarray(lay.dst_r),
-                               jnp.asarray(lay.w_r),
+                               jnp.asarray(lay.nreal),
                                jnp.asarray(lay.chunk_offs), lay.max_chunks,
                                lay.chunk)
         out = np.asarray(out)[lay.row_of]
@@ -329,7 +329,7 @@ class TestNodeShardedTraining:
                                            lay.max_chunks, lay.chunk)
         new_vars, _, loss, acc = step(
             variables, tx.init(variables["params"]), jnp.asarray(lay.src_r),
-            jnp.asarray(lay.dst_r), jnp.asarray(lay.w_r),
+            jnp.asarray(lay.dst_r), jnp.asarray(lay.nreal),
             jnp.asarray(lay.chunk_offs), jnp.asarray(lay.node_at),
             jnp.asarray(deg_pad),
             jnp.asarray(lay.row_of[seeds].astype(np.int32)),
@@ -396,7 +396,7 @@ class TestNodeShardedTraining:
                                            data_axis="data")
         new_vars, _, loss, acc = step(
             variables, tx.init(variables["params"]), jnp.asarray(lay.src_r),
-            jnp.asarray(lay.dst_r), jnp.asarray(lay.w_r),
+            jnp.asarray(lay.dst_r), jnp.asarray(lay.nreal),
             jnp.asarray(lay.chunk_offs), jnp.asarray(lay.node_at),
             jnp.asarray(deg_pad),
             jnp.asarray(lay.row_of[seeds].astype(np.int32)),
