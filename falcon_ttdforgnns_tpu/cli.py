@@ -84,10 +84,6 @@ def main(argv=None):
                     "normal", "uniform", "naive-uniform", "approx-normal",
                     "approx-uniform") else "approx-normal",
                 cache_size=args.cache_size if args.use_cached else 0,
-                # sparse-mode optimizer normalization (adam -> fused sgd;
-                # explicit adagrad flavors -> fused adagrad kernel) lives
-                # in SageTrainer.__init__ so programmatic TrainConfig users
-                # get identical routing
                 tt_optimizer=args.tt_optimizer,
                 sparse=args.sparse,
                 batch_count=args.batch_count,
@@ -103,6 +99,8 @@ def main(argv=None):
                 steps_per_call=args.steps_per_call,
                 access_counts=args.access_counts and not args.use_tt,
                 skip_eval=args.skip_eval,
+                eval_sampled=args.eval_sampled,
+                eval_sample_max=args.eval_sample_max,
                 eval_every=args.eval_every,
                 log_every=args.log_every,
                 seed=args.seed, dist=args.dist, num_chips=args.num_chips,

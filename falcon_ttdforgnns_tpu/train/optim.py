@@ -43,7 +43,17 @@ def _label_params(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(label, params)
 
 
-def tt_adagrad(lr: float, eps: float = 1e-10) -> optax.GradientTransformation:
+# eps conventions shared by the routed transforms AND the fused Pallas
+# kernels (trainer.py) — single source of truth so the two paths cannot
+# silently diverge from the parity the tests assert
+ADAGRAD_EPS = 1e-10
+ROWWISE_ADAGRAD_EPS = 1e-8
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-8
+
+
+def tt_adagrad(lr: float, eps: float = ADAGRAD_EPS) -> optax.GradientTransformation:
     """Per-element adagrad with the REFERENCE's eps convention:
     ``w -= lr * g / (sqrt(state) + eps)`` (`update_tt_cores_adagrad_kernel`,
     cu:399-419).  optax.adagrad puts eps INSIDE the rsqrt, which floors
@@ -63,7 +73,7 @@ def tt_adagrad(lr: float, eps: float = 1e-10) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
-def rowwise_adagrad(lr: float, eps: float = 1e-8) -> optax.GradientTransformation:
+def rowwise_adagrad(lr: float, eps: float = ROWWISE_ADAGRAD_EPS) -> optax.GradientTransformation:
     """Row-wise adagrad: one accumulator per leading-axis row — semantics
     of ``cache_backward_rowwise_adagrad_approx``
     (`FBTT/tt_embeddings_cuda.cu:1746-1846`).  Works on (K, D) cache rows
@@ -137,6 +147,21 @@ def reduce_on_plateau(patience: int = 800, factor: float = 0.5,
                                      plateau_count=pc)
 
     return optax.GradientTransformationExtraArgs(init, update)
+
+
+def plateau_scale(opt_state) -> jax.Array:
+    """Extract the reduce_on_plateau lr multiplier from a (possibly
+    chained/replicated) optimizer state — 1.0 when no plateau transform is
+    present.  The fused-sparse train step couples this into the fused
+    Adam kernel's traced lr so the cores follow the SAME schedule the
+    routed path applies to its updates (exact routed-parity; also the
+    reference's scheduler scaled its core-Adam lr,
+    `sage_dgl_partition.py:107`)."""
+    for leaf in jax.tree_util.tree_leaves(
+            opt_state, is_leaf=lambda x: isinstance(x, PlateauState)):
+        if isinstance(leaf, PlateauState):
+            return leaf.scale
+    return jnp.asarray(1.0, jnp.float32)
 
 
 def make_optimizer(

@@ -105,6 +105,15 @@ class TrainConfig:
     grouped: bool = False
     # node-space sharding for layer-wise inference (papers100M scale-out).
     node_shard: bool = False
+    # --eval-sampled: held-out accuracy via the sampled fanout forward
+    # instead of full layer-wise inference.  The only feasible eval at
+    # papers scale on ONE chip: full inference materializes the (N, D)
+    # f32 activations (28 GB at 55.5M nodes — exceeds a v5e's HBM), while
+    # sampled eval streams batches through the training forward.
+    eval_sampled: bool = False
+    # cap on evaluated seeds per split under --eval-sampled (subsample —
+    # a 131K sample bounds the split-accuracy standard error under 0.2%)
+    eval_sample_max: int = 131072
 
 
 class _EpochMeter:
@@ -157,12 +166,6 @@ class SageTrainer:
     def __init__(self, dataset: NodeDataset, config: TrainConfig,
                  logger=None, precomputed_cores=None):
         self.ds = dataset
-        if config.sparse and config.tt_optimizer == "adam":
-            # sparse mode's default core optimizer is fused SGD (EXACT_SGD,
-            # matching the CLI's --sparse default); explicit adagrad /
-            # rowwise_adagrad route to the fused adagrad kernel instead
-            from dataclasses import replace
-            config = replace(config, tt_optimizer="sgd")
         self.cfg = config
         self.logger = logger
         cfg = config
@@ -208,8 +211,18 @@ class SageTrainer:
             {"params": rng, "dropout": rng}, dummy[0], dummy[1], train=False)
         params = self.variables["params"]
         self.opt_state = self.tx.init(params)
-        if (self._want_fused_sparse()
-                and cfg.tt_optimizer in ("adagrad", "rowwise_adagrad")):
+        # Resolve the fused-sparse routing BEFORE optimizer-state creation
+        # so the tt_opt collection exists iff a fused step will consume it
+        # (a dormant always-zero tt_opt would otherwise ride in variables,
+        # DP replication, and checkpoints on branches that train cores via
+        # routed optax — e.g. --dist sampled non-puregpu, --full-neighbor).
+        # Mirrors the step-fn dispatch below exactly.
+        self._fused_sparse = (
+            self._want_fused_sparse() and cfg.use_sample
+            and (cfg.mode == "puregpu"
+                 or not (cfg.dist and jax.device_count() > 1)))
+        if self._fused_sparse and cfg.tt_optimizer in ("adagrad",
+                                                       "rowwise_adagrad"):
             # fused-adagrad accumulator state rides in the variables pytree
             # (it must flow through every jitted trainer shape — multi-step
             # fori carries, DP replication — and checkpoint like any other
@@ -224,12 +237,23 @@ class SageTrainer:
                     else embed[f"tt_core_{k}"].shape, jnp.float32)
                 for k in range(len([n for n in embed
                                     if n.startswith("tt_core_")]))}}
+        elif self._fused_sparse and cfg.tt_optimizer == "adam":
+            # fused-Adam moments + step count (the adaptive fused sparse
+            # update — the round-3 certs showed fixed-lr fused SGD stalls
+            # at chance on hard graphs; see ops/tt_pallas.py:_adam_kernel)
+            embed = params["embed"]
+            nc = len([n for n in embed if n.startswith("tt_core_")])
+            self.variables = {**self.variables, "tt_opt": {
+                **{f"m_{k}": jnp.zeros(embed[f"tt_core_{k}"].shape,
+                                       jnp.float32) for k in range(nc)},
+                **{f"v_{k}": jnp.zeros(embed[f"tt_core_{k}"].shape,
+                                       jnp.float32) for k in range(nc)},
+                "t": jnp.zeros((), jnp.int32)}}
 
         self.mesh = None
         self._multi_fn = None
         self._device_multi_fn = None
         self._full_step_fn = None
-        self._fused_sparse = False
         if cfg.dist and not cfg.use_sample and not cfg.node_shard:
             # train_epoch dispatches on use_sample first, so the DP branch's
             # step fns would never be reached — fail loudly instead of
@@ -255,7 +279,6 @@ class SageTrainer:
                 # counterpart of the reference's per-rank UVA sampling
                 # (`sage_dgl_partition.py:153,164`), instead of N chips
                 # funneling through one host sampler.
-                self._fused_sparse = self._want_fused_sparse()
                 self._step_fn = (self._build_fused_sparse_step()
                                  if self._fused_sparse
                                  else self._build_step())
@@ -290,12 +313,10 @@ class SageTrainer:
                 self._full_step_fn = self._build_full_neighbor_step()
         elif cfg.mode == "puregpu":
             # device-side sampling composes with the fused-sparse body
-            self._fused_sparse = self._want_fused_sparse()
             self._step_fn = (self._build_fused_sparse_step()
                              if self._fused_sparse else self._build_step())
             self._device_multi_fn = self._build_device_multi_step()
-        elif self._want_fused_sparse():
-            self._fused_sparse = True
+        elif self._fused_sparse:
             self._step_fn = self._build_fused_sparse_step()
             if cfg.steps_per_call > 1:
                 self._multi_fn = self._build_multi_step(fused=True)
@@ -342,17 +363,17 @@ class SageTrainer:
 
     def _want_fused_sparse(self) -> bool:
         """--sparse routes TT-core updates through a fused Pallas kernel —
-        backward+SGD (`tt_fused_sgd_pallas`) or backward+adagrad /
-        rowwise-adagrad (`tt_fused_adagrad_pallas`) — when the config
-        supports it (2-4-core TT, no row cache); otherwise sparse mode
-        falls back to the routed optax optimizer."""
+        backward+Adam (`tt_fused_adam_pallas`, the default: the adaptive
+        update hard graphs require), backward+SGD (`tt_fused_sgd_pallas`,
+        EXACT_SGD parity), or backward+adagrad / rowwise-adagrad
+        (`tt_fused_adagrad_pallas`) — when the config supports it
+        (2-4-core TT, no row cache); otherwise sparse mode falls back to
+        the routed optax optimizer."""
         cfg = self.cfg
         if not (cfg.sparse and cfg.use_tt and cfg.cache_size == 0):
             return False
-        # fused kernels exist for sgd (tt_fused_sgd_pallas) and the two
-        # adagrad flavors (tt_fused_adagrad_pallas); adam falls back to
-        # the routed-optax sparse step
-        if cfg.tt_optimizer not in ("sgd", "adagrad", "rowwise_adagrad"):
+        if cfg.tt_optimizer not in ("adam", "sgd", "adagrad",
+                                    "rowwise_adagrad"):
             return False
         from ..ops.tt_shapes import make_tt_shapes
         shapes = make_tt_shapes(self.ds.num_nodes, self.ds.feat_dim,
@@ -425,6 +446,12 @@ class SageTrainer:
         never diverge on chunk sizing / balance flags."""
         lay = getattr(self, "_nshard_layout", None)
         if lay is not None:
+            if lay.num_shards != n_ring:
+                raise ValueError(
+                    f"cached node-shard layout was built for "
+                    f"{lay.num_shards} shards, requested {n_ring} — "
+                    f"training placement and sharded inference must agree "
+                    f"on the ring width")
             return lay
         from ..parallel.node_sharding import partition_edges_ragged
         g = self.ds.graph
@@ -503,22 +530,31 @@ class SageTrainer:
 
         # fused-sparse body: lookup + conv tower forward; autograd stops at
         # the embedding output; one Pallas kernel recomputes the TT chain,
-        # backprops, and applies SGD to the cores (semantics of the
-        # reference's in-kernel sparse optimizer, ecu:1011-1247, without
-        # its double-lr bug).  The plateau lr schedule applies to the dense
-        # params only — the fused kernel uses the fixed cfg.lr, matching
-        # the reference's fixed in-kernel lr.
+        # backprops, and applies the optimizer to the cores (functional
+        # analog of the reference's in-kernel sparse optimizer,
+        # ecu:1011-1247, without its double-lr bug).  Default core update
+        # is fused ADAM with the plateau scale coupled into the kernel's
+        # traced lr — the round-3 certs showed fixed-lr fused SGD stalls
+        # at chance on hard graphs where all signal flows through the
+        # cores (the reference's sparse presets only converged through the
+        # accidental Adam-over-cores double update); sgd/adagrad remain
+        # the EXACT_SGD / EXACT_ADAGRAD parity modes with the reference's
+        # fixed in-kernel lr.
         from ..models.sage import SAGE, collect_level_ids
         from ..ops.tt_pallas import (tt_lookup_fused, tt_lookup_fused_bf16,
                                      tt_fused_sgd_pallas,
-                                     tt_fused_adagrad_pallas)
+                                     tt_fused_adagrad_pallas,
+                                     tt_fused_adam_pallas)
         from ..ops.tt_shapes import make_tt_shapes
+        from .optim import (plateau_scale, ADAGRAD_EPS, ROWWISE_ADAGRAD_EPS,
+                            ADAM_B1, ADAM_B2, ADAM_EPS)
         shapes = make_tt_shapes(self.ds.num_nodes, self.ds.feat_dim,
                                 cfg.tt_ranks, cfg.p_shapes, cfg.q_shapes)
         block, lr = 1024, cfg.lr
+        use_adam = cfg.tt_optimizer == "adam"
         use_adagrad = cfg.tt_optimizer in ("adagrad", "rowwise_adagrad")
         rowwise = cfg.tt_optimizer == "rowwise_adagrad"
-        adagrad_eps = 1e-8 if rowwise else 1e-10  # train/optim.py defaults
+        adagrad_eps = ROWWISE_ADAGRAD_EPS if rowwise else ADAGRAD_EPS
 
         def fused_body(variables, opt_state, seeds, layers, labels, rng):
             params = variables["params"]
@@ -552,13 +588,38 @@ class SageTrainer:
             updates, new_opt_state = tx.update(grads, opt_state, params,
                                                value=loss)
             new_params = optax.apply_updates(params, updates)
-            new_accs = None
-            if use_adagrad:
+            new_tt_opt = None
+            if use_adam:
+                ms = tuple(variables["tt_opt"][f"m_{k}"]
+                           for k in range(shapes.ndim))
+                vs = tuple(variables["tt_opt"][f"v_{k}"]
+                           for k in range(shapes.ndim))
+                t_new = variables["tt_opt"]["t"] + 1
+                tf = t_new.astype(jnp.float32)
+                # [lr_eff, c1, c2]: plateau-coupled lr + bias corrections,
+                # computed here so the kernel stays schedule-free.  Using
+                # new_opt_state's scale matches the routed path exactly
+                # (reduce_on_plateau scales THIS step's updates by the
+                # scale derived from this step's loss).
+                scal = jnp.stack([
+                    lr * plateau_scale(new_opt_state),
+                    1.0 / (1.0 - jnp.power(ADAM_B1, tf)),
+                    1.0 / (1.0 - jnp.power(ADAM_B2, tf))])
+                new_cores, new_ms, new_vs = tt_fused_adam_pallas(
+                    shapes, cores, ms, vs, all_ids.astype(jnp.int32),
+                    d_h, scal, ADAM_B1, ADAM_B2, ADAM_EPS, block)
+                new_tt_opt = {
+                    **{f"m_{k}": new_ms[k] for k in range(shapes.ndim)},
+                    **{f"v_{k}": new_vs[k] for k in range(shapes.ndim)},
+                    "t": t_new}
+            elif use_adagrad:
                 accs = tuple(variables["tt_opt"][f"acc_{k}"]
                              for k in range(shapes.ndim))
                 new_cores, new_accs = tt_fused_adagrad_pallas(
                     shapes, cores, accs, all_ids.astype(jnp.int32),
                     d_h, lr, adagrad_eps, block, rowwise=rowwise)
+                new_tt_opt = {f"acc_{k}": new_accs[k]
+                              for k in range(shapes.ndim)}
             else:
                 new_cores = tt_fused_sgd_pallas(shapes, cores,
                                                 all_ids.astype(jnp.int32),
@@ -569,9 +630,8 @@ class SageTrainer:
             new_params = {**new_params, "embed": embed}
             acc = jnp.mean(jnp.argmax(logits, -1) == labels)
             new_vars = {"params": new_params, **{**aux_cols, **mutated}}
-            if new_accs is not None:
-                new_vars["tt_opt"] = {f"acc_{k}": new_accs[k]
-                                      for k in range(shapes.ndim)}
+            if new_tt_opt is not None:
+                new_vars["tt_opt"] = new_tt_opt
             return new_vars, new_opt_state, loss, acc
 
         return fused_body
@@ -1017,13 +1077,55 @@ class SageTrainer:
             jnp.asarray(deg), cfg.num_layers)
         return np.asarray(out)[lay.row_of]
 
+    def evaluate_sampled(self, seed: int = 1234) -> Dict[str, float]:
+        """Split accuracies via the SAMPLED fanout forward (--eval-sampled):
+        each evaluated seed runs through the same static-shape fanout
+        forward training uses (dropout off).  An approximation of
+        full-neighbor inference (the fanout bounds each hop), but the only
+        eval that fits one chip at papers scale, where layer-wise inference
+        must materialize (N, D) f32 activations (28 GB at 55.5M nodes).
+        Splits larger than ``eval_sample_max`` are subsampled."""
+        cfg = self.cfg
+        from ..graph.sampler import sample_block
+        rng = np.random.default_rng(seed)
+        if not hasattr(self, "_sampled_eval_fn"):
+            @jax.jit
+            def fwd(variables, seeds, layers):
+                out = self.model.apply(variables, seeds, list(layers),
+                                       train=False)
+                return jnp.argmax(out, -1)
+            self._sampled_eval_fn = fwd
+        B = cfg.batch_size
+        res = {}
+        for name, idx in [("train", self.ds.train_idx),
+                          ("val", self.ds.val_idx),
+                          ("test", self.ds.test_idx)]:
+            if len(idx) > cfg.eval_sample_max:
+                idx = rng.choice(idx, cfg.eval_sample_max, replace=False)
+            correct = total = 0
+            n_batches = max(1, len(idx) // B)
+            for b in range(n_batches):
+                pick = self._wrap_full(idx[b * B:(b + 1) * B], idx, B)
+                blk = sample_block(self.ds.graph, pick, cfg.fanouts, rng)
+                pred = self._sampled_eval_fn(
+                    self.variables, jnp.asarray(blk.seeds),
+                    tuple(jnp.asarray(l) for l in blk.layers))
+                correct += int((np.asarray(pred) ==
+                                self.ds.labels[pick]).sum())
+                total += B
+            res[f"{name}_acc"] = correct / max(total, 1)
+        return res
+
     def evaluate(self) -> Dict[str, float]:
         """Split accuracies via fully-on-device inference: one jitted
         full-graph propagation (materialize + L aggregation layers) and
         three scalar accuracies come back to the host — round 1 pulled
         the whole (N, C) logits + pushed (N, D) activations through the
         host per eval (~1 GB at products scale; tens of seconds through
-        a remote-attached TPU)."""
+        a remote-attached TPU).  --eval-sampled swaps in the sampled
+        fanout eval (papers-scale single-chip regime)."""
+        if self.cfg.eval_sampled:
+            return self.evaluate_sampled()
         if self.cfg.node_shard and jax.device_count() > 1:
             logits = self.infer_full_sharded()
             pred = logits.argmax(-1)

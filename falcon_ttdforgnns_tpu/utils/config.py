@@ -114,15 +114,20 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "eff (Efficient_TT grouped prefix-dedup lookup), "
                         "dense (no TT)")
     t.add_argument("--sparse", action="store_true",
-                   help="EXACT_SGD-style TT-core updates via the fused "
-                        "Pallas backward+SGD kernel")
+                   help="fused in-kernel TT-core updates (one Pallas pass: "
+                        "recompute chain + backward + optimizer).  Default "
+                        "core update is fused Adam with the plateau lr "
+                        "schedule coupled in — the adaptive update hard "
+                        "graphs require; --tt-optimizer sgd gives the "
+                        "reference's EXACT_SGD fixed-lr semantics")
     t.add_argument("--tt-optimizer", type=str, default="adam",
                    choices=["adam", "sgd", "adagrad", "rowwise_adagrad"],
                    help="TT-core optimizer routing (OptimType parity: "
                         "tt_adagrad_backward cu:721-754, EXACT_ROWWISE_"
-                        "ADAGRAD); under --sparse, adam (the default) "
-                        "becomes fused sgd while adagrad/rowwise_adagrad "
-                        "route to the fused adagrad kernel")
+                        "ADAGRAD); under --sparse each routes to its fused "
+                        "kernel (adam the default and the one that "
+                        "converges on hard graphs; sgd/adagrad are "
+                        "fixed-lr reference-parity modes)")
     t.add_argument("--batch-count", type=int, default=65536,
                    help="lookup chunk size (VMEM budget knob, cu:1027 analog)")
     t.add_argument("--spmm", type=str, default="xla",
@@ -144,6 +149,14 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     e.add_argument("--log-every", type=int, default=20)
     e.add_argument("--eval-every", type=int, default=1)
     e.add_argument("--skip-eval", action="store_true")
+    e.add_argument("--eval-sampled", action="store_true",
+                   help="held-out accuracy via the sampled fanout forward "
+                        "instead of full layer-wise inference — the only "
+                        "eval that fits one chip at papers100M scale "
+                        "(full inference materializes (N, D) f32 = 28 GB "
+                        "at 55.5M nodes); big splits are subsampled")
+    e.add_argument("--eval-sample-max", type=int, default=131072,
+                   help="per-split seed cap under --eval-sampled")
     e.add_argument("--save-model", action="store_true")
     e.add_argument("--save-pred", action="store_true")
     e.add_argument("--store-emb", action="store_true")
