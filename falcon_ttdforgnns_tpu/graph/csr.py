@@ -356,15 +356,26 @@ def load_ogb_raw(name: str, root: str = "dataset") -> NodeDataset:
     layout — no ``ogb`` package needed (the image has none; this keeps real
     data loadable and the loader testable, VERDICT r1 missing-item 1c).
 
-    Layout (OGB's documented csv.gz format, what ``NodePropPredDataset``
-    downloads before processing):
+    Two official raw formats are supported (what ``NodePropPredDataset``
+    downloads before processing; see docs/CAPABILITIES.md "Real-OGB
+    readiness" for the per-dataset file inventory):
+
+    csv.gz (ogbn-arxiv, ogbn-products)::
 
         <root>/<name with - -> _>/
           raw/edge.csv.gz            one "src,dst" line per directed edge
-          raw/node-label.csv.gz      one label per node
+          raw/node-label.csv.gz      one label per node (NaN = unlabeled)
           raw/num-node-list.csv.gz   single line: N
           raw/node-feat.csv.gz       optional dense features
           split/<type>/{train,valid,test}.csv.gz   node-id lists
+
+    binary npz (ogbn-papers100M — OGB ships large datasets binary)::
+
+        <root>/<name with - -> _>/
+          raw/data.npz               edge_index (2, E) + node_feat +
+                                     num_nodes_list (or num_nodes)
+          raw/node-label.npz         node_label (float; NaN = unlabeled)
+          split/<type>/{train,valid,test}.csv.gz  (or .npz / split_dict.npz)
 
     Reference behavior matched: add reverse edges (`graphloader.py:170-180`)
     and splits straight from the split dir (`graphloader.py:162-167`)."""
@@ -388,25 +399,55 @@ def load_ogb_raw(name: str, root: str = "dataset") -> NodeDataset:
             with gzip.open(path, "rt") as f:
                 return np.loadtxt(f, dtype=dtype, delimiter=",", ndmin=2)
 
-    n = int(read_csv_gz(os.path.join(raw, "num-node-list.csv.gz"),
-                        np.int64)[0, 0])
-    edges = read_csv_gz(os.path.join(raw, "edge.csv.gz"), np.int64)
-    labels = read_csv_gz(os.path.join(raw, "node-label.csv.gz"),
-                         np.float64)[:, 0]
-    feat_path = os.path.join(raw, "node-feat.csv.gz")
-    feats = (read_csv_gz(feat_path, np.float32)
-             if os.path.exists(feat_path) else None)
+    binary = os.path.exists(os.path.join(raw, "data.npz"))
+    if binary:
+        data = np.load(os.path.join(raw, "data.npz"))
+        ei = data["edge_index"]
+        src_e, dst_e = ei[0].astype(np.int64), ei[1].astype(np.int64)
+        feats = (np.asarray(data["node_feat"], np.float32)
+                 if "node_feat" in data else None)
+        if "num_nodes_list" in data:
+            n = int(np.asarray(data["num_nodes_list"]).reshape(-1)[0])
+        elif "num_nodes" in data:
+            n = int(np.asarray(data["num_nodes"]).reshape(-1)[0])
+        else:
+            n = len(feats) if feats is not None else int(ei.max()) + 1
+        lab = np.load(os.path.join(raw, "node-label.npz"))
+        key = "node_label" if "node_label" in lab else list(lab.keys())[0]
+        labels = np.asarray(lab[key], np.float64).reshape(len(lab[key]), -1)[:, 0]
+    else:
+        n = int(read_csv_gz(os.path.join(raw, "num-node-list.csv.gz"),
+                            np.int64)[0, 0])
+        edges = read_csv_gz(os.path.join(raw, "edge.csv.gz"), np.int64)
+        src_e, dst_e = edges[:, 0], edges[:, 1]
+        labels = read_csv_gz(os.path.join(raw, "node-label.csv.gz"),
+                             np.float64)[:, 0]
+        feat_path = os.path.join(raw, "node-feat.csv.gz")
+        feats = (read_csv_gz(feat_path, np.float32)
+                 if os.path.exists(feat_path) else None)
 
     split_root = os.path.join(d, "split")
-    split_types = sorted(os.listdir(split_root)) if os.path.isdir(split_root) else []
+    split_types = (sorted(e for e in os.listdir(split_root)
+                          if os.path.isdir(os.path.join(split_root, e)))
+                   if os.path.isdir(split_root) else [])
     if not split_types:
         raise FileNotFoundError(split_root)
     sd = os.path.join(split_root, split_types[0])
-    splits = {s: read_csv_gz(os.path.join(sd, f"{s}.csv.gz"),
-                             np.int64)[:, 0]
-              for s in ("train", "valid", "test")}
 
-    graph = CSRGraph.from_edges(edges[:, 0], edges[:, 1], n, add_reverse=True)
+    def read_split(s):
+        csv = os.path.join(sd, f"{s}.csv.gz")
+        if os.path.exists(csv):
+            return read_csv_gz(csv, np.int64)[:, 0]
+        one = os.path.join(sd, f"{s}.npz")  # binary-dataset variants
+        if os.path.exists(one):
+            z = np.load(one)
+            return np.asarray(z[list(z.keys())[0]], np.int64).reshape(-1)
+        z = np.load(os.path.join(sd, "split_dict.npz"))
+        return np.asarray(z[s], np.int64).reshape(-1)
+
+    splits = {s: read_split(s) for s in ("train", "valid", "test")}
+
+    graph = CSRGraph.from_edges(src_e, dst_e, n, add_reverse=True)
     labels = np.nan_to_num(labels, nan=-1).astype(np.int32)
     return NodeDataset(
         graph=graph,

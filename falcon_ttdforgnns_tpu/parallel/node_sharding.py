@@ -232,22 +232,49 @@ def partition_edges_ragged(src: np.ndarray, dst: np.ndarray, num_nodes: int,
     else:
         row_of = np.arange(num_nodes, dtype=np.int64)
         block = -(-num_nodes // S)
-    r_src = row_of[src]
-    r_dst = row_of[dst]
-    sb = (r_src // block).astype(np.int64)
-    db = (r_dst // block).astype(np.int64)
+    # Memory discipline: every O(E) temporary is dropped as soon as its
+    # narrow successor exists — at papers100M full scale (3.3B directed
+    # edges) the round-3 formulation held ~9 int64 E-length arrays at once
+    # (~240 GB); this keeps peak E-bytes near (caller's src,dst 16) +
+    # (block-local int32 pair 8) + (int32 key 4) + (argsort order 8) = 36/E,
+    # validated past 2^31 edges by tests/test_papers_scale.py
+    # (FALCON_BIG_TESTS=1).
+    r = row_of[src]
+    src_l = (r % block).astype(np.int32)
+    sb = (r // block).astype(np.int32)
+    del r
+    r = row_of[dst]
+    dst_l = (r % block).astype(np.int32)
+    db = (r // block).astype(np.int32)
+    del r
     # bucket key: dst shard major, then src block in that shard's ROTATION
     # order ((sb - db) mod S) — so each shard's buckets concatenate in the
     # order the ring delivers them
-    rot = (sb - db) % S
-    key = db * S + rot
+    sb -= db
+    sb %= S           # in-place: sb becomes the rotation index
+    db *= S
+    db += sb          # db becomes the int32 bucket key
+    del sb
+    key = db
     order = np.argsort(key, kind="stable")
-    src_l = (r_src % block).astype(np.int32)[order]
-    dst_l = (r_dst % block).astype(np.int32)[order]
     counts = np.bincount(key, minlength=S * S).reshape(S, S)
+    del key, db
+    src_l = src_l[order]
+    dst_l = dst_l[order]
+    del order
     nchunks = -(-counts // chunk)  # ceil; 0 for empty buckets
     row_len = (nchunks.sum(axis=1) * chunk).max() if E else 0
     e_pad = int(row_len) + chunk  # final all-zero chunk = redirect target
+    # int32 ceilings the device kernel relies on: per-shard padded edge
+    # counts index src_r rows via int32 `(start + j) * chunk` arithmetic,
+    # and nreal ships as int32.  GLOBAL edge counts past 2^31 are fine
+    # (tests/test_papers_scale.py big test); a single shard/bucket past
+    # 2^31 means too few shards for the graph — say so instead of wrapping.
+    if e_pad >= 2 ** 31 or int(counts.max()) >= 2 ** 31:
+        raise ValueError(
+            f"per-shard edge block too large for int32 device indexing "
+            f"(e_pad={e_pad}, max bucket={int(counts.max())}); raise "
+            f"num_shards above {S}")
 
     src_r = np.zeros((S, e_pad), np.int32)
     dst_r = np.zeros((S, e_pad), np.int32)

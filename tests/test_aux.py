@@ -143,6 +143,33 @@ class TestTrainerResume:
         stats = t2.train_epoch(1)
         assert np.isfinite(stats["loss"])
 
+    def test_fused_adam_state_roundtrips(self, tmp_path):
+        """The fused-Adam moments + step count (the round-4 --sparse
+        default) must survive save/restore — a reset ``t`` would replay
+        the bias-correction warmup and a reset ``v`` the lr ramp."""
+        from falcon_ttdforgnns_tpu.graph import synthetic_dataset
+        from falcon_ttdforgnns_tpu.train import SageTrainer, TrainConfig
+        ds = synthetic_dataset(num_nodes=400, avg_degree=5, num_classes=4,
+                               feat_dim=16, seed=3)
+        cfg = TrainConfig(batch_size=64, fanouts=(3, 3), epochs=1,
+                          hidden_dim=16, num_layers=2, use_tt=True,
+                          tt_ranks=(4, 4), weight_dist="normal",
+                          sparse=True, tt_optimizer="adam",
+                          eval_every=10**9, log_every=10**9, seed=5)
+        t1 = SageTrainer(ds, cfg)
+        t1.train_epoch(0)
+        state1 = {k: np.asarray(v) for k, v in t1.variables["tt_opt"].items()}
+        assert int(state1["t"]) > 0
+        path = t1.save(str(tmp_path))
+
+        t2 = SageTrainer(ds, cfg)
+        t2.restore(path)
+        for k, a in state1.items():
+            np.testing.assert_array_equal(
+                np.asarray(t2.variables["tt_opt"][k]), a)
+        stats = t2.train_epoch(1)
+        assert np.isfinite(stats["loss"])
+
 
 def test_training_is_seed_deterministic():
     """Two trainers with identical seeds must produce IDENTICAL loss

@@ -197,6 +197,51 @@ class TestOgbRawLoader:
         ds = get_dataset("ogbn-toy", root=str(tmp_path))
         assert ds.name == "ogbn-toy" and ds.graph.num_nodes == 20
 
+    def _write_binary(self, root, name="ogbn-toybin", n=24,
+                      split_style="csv"):
+        """OGB's BINARY raw layout — what papers100M actually ships as
+        (raw/data.npz + raw/node-label.npz; unlabeled nodes are NaN and
+        the split dir is split/time/ — VERDICT r3 item 8 hardening)."""
+        import gzip
+        d = root / name.replace("-", "_")
+        (d / "raw").mkdir(parents=True)
+        (d / "split" / "time").mkdir(parents=True)
+        rng = np.random.default_rng(5)
+        ei = rng.integers(0, n, (2, 80)).astype(np.int64)
+        feats = rng.normal(size=(n, 6)).astype(np.float32)
+        labels = rng.integers(0, 7, n).astype(np.float64)
+        labels[-4:] = np.nan  # papers100M: most nodes unlabeled
+        np.savez(d / "raw" / "data.npz", edge_index=ei, node_feat=feats,
+                 num_nodes_list=np.array([n]))
+        np.savez(d / "raw" / "node-label.npz",
+                 node_label=labels[:, None])
+        perm = rng.permutation(n - 4)  # splits over labeled nodes only
+        parts = {"train": perm[:14], "valid": perm[14:18],
+                 "test": perm[18:]}
+        for s, ids in parts.items():
+            if split_style == "csv":
+                with gzip.open(d / "split" / "time" / f"{s}.csv.gz",
+                               "wt") as f:
+                    np.savetxt(f, ids[:, None], fmt="%d")
+            else:
+                np.savez(d / "split" / "time" / f"{s}.npz", data=ids)
+        return ei, labels, feats, parts
+
+    @pytest.mark.parametrize("split_style", ["csv", "npz"])
+    def test_load_binary_layout(self, tmp_path, split_style):
+        from falcon_ttdforgnns_tpu.graph import load_ogb_raw
+        ei, labels, feats, parts = self._write_binary(
+            tmp_path, split_style=split_style)
+        ds = load_ogb_raw("ogbn-toybin", str(tmp_path))
+        assert ds.graph.num_nodes == 24
+        assert ds.feats is not None and ds.feats.shape == (24, 6)
+        assert ds.feat_dim == 6
+        # NaN labels -> -1; num_classes from the labeled max
+        assert (ds.labels[-4:] == -1).all()
+        assert ds.num_classes == 7
+        np.testing.assert_array_equal(ds.train_idx, np.sort(parts["train"]))
+        np.testing.assert_array_equal(ds.test_idx, np.sort(parts["test"]))
+
     def test_get_dataset_hard_prefix(self):
         """'hard-<name>' routes to the planted-partition generator at
         <name>'s scale: high edge homophily, id-uninformative labels."""
