@@ -15,7 +15,9 @@ import jax.numpy as jnp
 from falcon_ttdforgnns_tpu.ops import make_tt_shapes, tt_init
 from falcon_ttdforgnns_tpu.ops.tt_pallas import (tt_lookup_pallas,
                                                  tt_grads_pallas,
-                                                 tt_fused_sgd_pallas)
+                                                 tt_fused_sgd_pallas,
+                                                 tt_fused_adagrad_pallas,
+                                                 tt_fused_adam_pallas)
 
 K = int(os.environ.get("PROBE_K", "32"))
 B = int(os.environ.get("PROBE_B", str(918_528)))  # multiple of block
@@ -85,9 +87,34 @@ def main():
         cores, _ = jax.lax.fori_loop(0, K, body, (cores, off0))
         return cores[0].sum()
 
+    @jax.jit
+    def adagrad_loop(off0, cores, accs, idx, g):
+        def body(i, carry):
+            cores, accs, off = carry
+            cores, accs = tt_fused_adagrad_pallas(
+                shapes, cores, accs, (idx + off) % Nn, g, lr=0.01, block=BLK)
+            return (cores, accs, off + 1)
+        cores, _, _ = jax.lax.fori_loop(0, K, body, (cores, accs, off0))
+        return cores[0].sum()
+
+    @jax.jit
+    def adam_loop(off0, cores, ms, vs, idx, g):
+        def body(i, carry):
+            cores, ms, vs, off = carry
+            # bias corrections for a representative mid-training step
+            scal = jnp.asarray([0.01, 1.0, 1.0], jnp.float32)
+            cores, ms, vs = tt_fused_adam_pallas(
+                shapes, cores, ms, vs, (idx + off) % Nn, g, scal, block=BLK)
+            return (cores, ms, vs, off + 1)
+        cores, _, _, _ = jax.lax.fori_loop(0, K, body, (cores, ms, vs, off0))
+        return cores[0].sum()
+
     timed("pallas forward", fwd_loop, cores, idx)
     timed("pallas backward", bwd_loop, cores, idx, g)
     timed("pallas fused-sgd", sgd_loop, cores, idx, g)
+    zeros = tuple(jnp.zeros_like(c) for c in cores)
+    timed("pallas fused-adagrad", adagrad_loop, cores, zeros, idx, g)
+    timed("pallas fused-adam", adam_loop, cores, zeros, zeros, idx, g)
 
 
 if __name__ == "__main__":
