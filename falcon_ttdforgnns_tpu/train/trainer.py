@@ -69,6 +69,12 @@ class TrainConfig:
     # --bf16: conv tower activations in bfloat16 (params and TT cores stay
     # f32) — halves the step's dominant HBM traffic
     bf16: bool = False
+    # precision-attribution knobs (r4 bf16-convergence diagnosis): enable
+    # HALF of what --bf16 covers.  bf16_tower runs the conv tower in bf16
+    # with f32 kernel I/O; bf16_kernel stores h_all / consumes d_h in bf16
+    # under an f32 tower.  cfg.bf16 implies both.
+    bf16_tower: bool = False
+    bf16_kernel: bool = False
     # Device-resident multi-step: stack S sampled batches host-side and run
     # S optimizer steps inside one jitted fori_loop per dispatch.  Amortizes
     # host/dispatch overhead (essential under remote-attached TPUs; measured
@@ -191,7 +197,7 @@ class SageTrainer:
             # over TRUE node degrees (thousands of bf16 sum terms at scale)
             # and the ring-SpMM accumulates f32 into the carry — scope the
             # flag to the sampled trainers and run full-neighbor in f32
-            bf16=cfg.bf16 and cfg.use_sample,
+            bf16=(cfg.bf16 or cfg.bf16_tower) and cfg.use_sample,
             # with in-jit sampling the host loader never runs, so the
             # device-side LFU counters are the only frequency source
             device_freq=(cfg.mode == "puregpu" and cfg.cache_size > 0),
@@ -567,7 +573,8 @@ class SageTrainer:
             # consumes the bf16 d_h natively — halves the HBM bytes of the
             # step's dominant non-kernel traffic (the 375 MB h_all/d_h
             # tensors and their layout copies; logs/r3_profile.log)
-            lookup = tt_lookup_fused_bf16 if cfg.bf16 else tt_lookup_fused
+            lookup = (tt_lookup_fused_bf16 if (cfg.bf16 or cfg.bf16_kernel)
+                      else tt_lookup_fused)
             h_all = jax.lax.stop_gradient(
                 lookup(shapes, block, cores, all_ids.astype(jnp.int32)))
 

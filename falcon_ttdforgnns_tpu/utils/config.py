@@ -96,6 +96,12 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "cores/grads stay f32). 33.5 -> 27.4 ms/step at "
                         "products config. Scope: sampled-SAGE trainers "
                         "only; full-graph gcn/gat run f32")
+    t.add_argument("--bf16-tower", action="store_true",
+                   help="precision-attribution half of --bf16: conv tower "
+                        "activations bf16, kernel I/O stays f32")
+    t.add_argument("--bf16-kernel", action="store_true",
+                   help="precision-attribution half of --bf16: fused-kernel "
+                        "h_all/d_h in bf16, tower stays f32")
     t.add_argument("--use-tt", action="store_true", default=True)
     t.add_argument("--no-tt", dest="use_tt", action="store_false")
     t.add_argument("--tt-rank", type=_int_list, default=[16, 16])

@@ -28,6 +28,8 @@ def main():
     dropout0 = "--dropout0" in sys.argv  # isolate dropout PRNG+mask cost
     rbg = "--rbg" in sys.argv          # TPU hardware RNG for in-step bits
     bf16 = "--bf16" in sys.argv        # bf16 conv-tower activations
+    bf16_tower = "--bf16-tower" in sys.argv    # attribution halves
+    bf16_kernel = "--bf16-kernel" in sys.argv
     # fused rowwise-adagrad core updates (vs the default fused SGD)
     adagrad = "--adagrad" in sys.argv
     puregpu = puregpu or table
@@ -48,7 +50,8 @@ def main():
                       sampler="table" if table else "csr",
                       dropout=0.0 if dropout0 else 0.5,
                       rng_impl="rbg" if rbg else "threefry",
-                      bf16=bf16,
+                      bf16=bf16, bf16_tower=bf16_tower,
+                      bf16_kernel=bf16_kernel,
                       tt_optimizer="rowwise_adagrad" if adagrad else "adam",
                       eval_every=10**9, log_every=10**9)
     t0 = time.time()

@@ -526,6 +526,28 @@ class TestBf16:
         m = tr.train_epoch(0)
         assert np.isfinite(m["loss"])
 
+    def test_bf16_attribution_halves(self):
+        """--bf16-tower / --bf16-kernel enable exactly one half of --bf16
+        (the r4 precision-attribution knobs): tower-only keeps kernel I/O
+        f32; kernel-only keeps the tower f32 with a bf16 h_all.  Both run
+        the fused-Adam sparse step and land within bf16 tolerance of the
+        f32 loss."""
+        ds = small_ds(n=600)
+        common = dict(sparse=True, tt_optimizer="adam", dropout=0.0,
+                      batch_size=32, steps_per_call=2)
+        losses = {}
+        for name, kw in [("f32", {}), ("tower", {"bf16_tower": True}),
+                         ("kernel", {"bf16_kernel": True})]:
+            tr = SageTrainer(ds, small_cfg(**common, **kw))
+            assert tr._fused_sparse
+            # the model-side cast follows tower bf16; kernel-only keeps it f32
+            assert tr.model.bf16 == (name == "tower")
+            m = tr.train_epoch(0)
+            losses[name] = m["loss"]
+            assert np.isfinite(m["loss"])
+        assert abs(losses["tower"] - losses["f32"]) < 5e-2
+        assert abs(losses["kernel"] - losses["f32"]) < 5e-2
+
 
 class TestEpochEdgeCases:
     def test_wrap_full_cyclic(self):
