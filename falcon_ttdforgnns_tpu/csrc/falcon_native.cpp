@@ -189,16 +189,35 @@ void sample_block_multi(const int64_t* indptr, const int32_t* indices,
 // ---------------------------------------------------------------------------
 namespace part {
 
+// Non-owning view: level 0 aliases the caller's numpy buffers directly —
+// copying the papers-scale input (1.67B-edge CSR) into owned vectors cost
+// 7.4 GB of the 128 GB host budget for nothing.
+struct GraphView {
+  const int64_t* indptr;
+  const int32_t* indices;
+  const int32_t* ewgt;  // nullptr -> all edges weight 1
+  const int32_t* vwgt;  // nullptr -> all nodes weight 1
+  int64_t n_;
+  int64_t n() const { return n_; }
+  int64_t m() const { return indptr[n_]; }
+  inline int32_t ew(int64_t j) const { return ewgt ? ewgt[j] : 1; }
+  inline int32_t vw(int64_t v) const { return vwgt ? vwgt[v] : 1; }
+};
+
 struct Graph {
   std::vector<int64_t> indptr;
   std::vector<int32_t> indices;
   std::vector<int32_t> ewgt;  // edge weights (multi-edge multiplicity)
   std::vector<int32_t> vwgt;  // coarse node weights (collapsed count)
   int64_t n() const { return static_cast<int64_t>(indptr.size()) - 1; }
-  inline int32_t ew(int64_t j) const { return ewgt.empty() ? 1 : ewgt[j]; }
+  GraphView view() const {
+    return {indptr.data(), indices.data(),
+            ewgt.empty() ? nullptr : ewgt.data(),
+            vwgt.empty() ? nullptr : vwgt.data(), n()};
+  }
 };
 
-Graph coarsen(const Graph& g, std::vector<int32_t>& cmap, uint64_t seed,
+Graph coarsen(const GraphView& g, std::vector<int32_t>& cmap, uint64_t seed,
               const int32_t* constraint = nullptr) {
   // ``constraint``: only match nodes in the same part (V-cycle coarsening —
   // keeps a projected partition valid at every level, so coarse-level
@@ -228,51 +247,85 @@ Graph coarsen(const Graph& g, std::vector<int32_t>& cmap, uint64_t seed,
     if (mate != u) cmap[mate] = nxt;
     ++nxt;
   }
-  // build coarse graph (dedup multi-edges with a per-row stamp array)
+  // Build the coarse graph with a flat two-pass CSR (count, fill) and
+  // in-place per-row dedup.  The old per-coarse-node vector-of-vectors
+  // OOM-killed the papers-scale build (1.67B edges): 13 GB of pair
+  // payload became >100 GB of small-allocation headers, growth doubling
+  // and fragmentation across 27M vectors, times the retained levels.
+  // Peak here is ~8 B per cross edge (4 B nbr + 4 B weight) and the
+  // compacted arrays are moved, not copied, into the result.
   Graph cg;
   cg.vwgt.assign(nxt, 0);
-  for (int64_t u = 0; u < n; ++u) cg.vwgt[cmap[u]] += g.vwgt.empty() ? 1 : g.vwgt[u];
-  std::vector<std::vector<std::pair<int32_t, int32_t>>> adj(nxt);  // (nbr, w)
+  for (int64_t u = 0; u < n; ++u) cg.vwgt[cmap[u]] += g.vw(u);
+  std::vector<int64_t> coff(nxt + 1, 0);
   for (int64_t u = 0; u < n; ++u) {
-    int32_t cu = cmap[u];
-    for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j) {
-      int32_t cv = cmap[g.indices[j]];
-      if (cu != cv) adj[cu].push_back({cv, g.ew(j)});
+    const int32_t cu = cmap[u];
+    for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j)
+      if (cmap[g.indices[j]] != cu) ++coff[cu + 1];
+  }
+  for (int32_t v = 0; v < nxt; ++v) coff[v + 1] += coff[v];
+  const int64_t mm = coff[nxt];
+  std::vector<int32_t> flat_nbr(mm);
+  std::vector<int32_t> flat_w;  // only when the fine level is weighted
+  if (g.ewgt) flat_w.resize(mm);
+  {
+    std::vector<int64_t> cur(coff.begin(), coff.end() - 1);
+    for (int64_t u = 0; u < n; ++u) {
+      const int32_t cu = cmap[u];
+      for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j) {
+        const int32_t cv = cmap[g.indices[j]];
+        if (cv == cu) continue;
+        const int64_t at = cur[cu]++;
+        flat_nbr[at] = cv;
+        if (g.ewgt) flat_w[at] = g.ewgt[j];
+      }
     }
   }
-  cg.indptr.resize(nxt + 1);
-  cg.indptr[0] = 0;
-  int64_t tot = 0;
+  cg.indptr.assign(nxt + 1, 0);
+  std::vector<int32_t> wbuf;
+  wbuf.reserve(mm / 2 + 16);
+  std::vector<std::pair<int32_t, int32_t>> scratch;  // weighted rows only
+  int64_t w = 0;  // global write cursor (w <= row start: compaction shrinks)
   for (int32_t v = 0; v < nxt; ++v) {
-    auto& a = adj[v];
-    std::sort(a.begin(), a.end());
-    // merge parallel edges, summing weights
-    size_t w = 0;
-    for (size_t r = 0; r < a.size();) {
-      int32_t nbr = a[r].first;
-      int32_t sum = 0;
-      while (r < a.size() && a[r].first == nbr) sum += a[r++].second;
-      a[w++] = {nbr, sum};
+    const int64_t lo = coff[v], hi = coff[v + 1];
+    if (g.ewgt == nullptr) {
+      // unweighted fine level: sort the row in place; duplicate runs
+      // become the coarse edge weights
+      std::sort(flat_nbr.begin() + lo, flat_nbr.begin() + hi);
+      for (int64_t r = lo; r < hi;) {
+        const int32_t nbr = flat_nbr[r];
+        int32_t sum = 0;
+        while (r < hi && flat_nbr[r] == nbr) { ++sum; ++r; }
+        flat_nbr[w++] = nbr;
+        wbuf.push_back(sum);
+      }
+    } else {
+      scratch.clear();
+      for (int64_t r = lo; r < hi; ++r)
+        scratch.push_back({flat_nbr[r], flat_w[r]});
+      std::sort(scratch.begin(), scratch.end());
+      for (size_t r = 0; r < scratch.size();) {
+        const int32_t nbr = scratch[r].first;
+        int32_t sum = 0;
+        while (r < scratch.size() && scratch[r].first == nbr)
+          sum += scratch[r++].second;
+        flat_nbr[w++] = nbr;
+        wbuf.push_back(sum);
+      }
     }
-    a.resize(w);
-    tot += static_cast<int64_t>(a.size());
-    cg.indptr[v + 1] = tot;
+    cg.indptr[v + 1] = w;
   }
-  cg.indices.resize(tot);
-  cg.ewgt.resize(tot);
-  for (int32_t v = 0; v < nxt; ++v)
-    for (size_t r = 0; r < adj[v].size(); ++r) {
-      cg.indices[cg.indptr[v] + r] = adj[v][r].first;
-      cg.ewgt[cg.indptr[v] + r] = adj[v][r].second;
-    }
+  flat_nbr.resize(w);
+  cg.indices = std::move(flat_nbr);
+  cg.ewgt = std::move(wbuf);
   return cg;
 }
 
-void bfs_grow(const Graph& g, int32_t k, uint64_t seed, std::vector<int32_t>& part) {
+void bfs_grow(const GraphView& g, int32_t k, uint64_t seed, std::vector<int32_t>& part) {
   const int64_t n = g.n();
   part.assign(n, -1);
   int64_t total_w = 0;
-  for (int64_t v = 0; v < n; ++v) total_w += g.vwgt.empty() ? 1 : g.vwgt[v];
+  for (int64_t v = 0; v < n; ++v) total_w += g.vw(v);
   const int64_t target = (total_w + k - 1) / k;
   std::vector<int64_t> size(k, 0);
   std::vector<std::deque<int32_t>> q(k);
@@ -282,7 +335,7 @@ void bfs_grow(const Graph& g, int32_t k, uint64_t seed, std::vector<int32_t>& pa
       int32_t s = static_cast<int32_t>(rng.bounded(n));
       if (part[s] == -1) {
         part[s] = p;
-        size[p] += g.vwgt.empty() ? 1 : g.vwgt[s];
+        size[p] += g.vw(s);
         q[p].push_back(s);
         break;
       }
@@ -300,7 +353,7 @@ void bfs_grow(const Graph& g, int32_t k, uint64_t seed, std::vector<int32_t>& pa
           int32_t v = g.indices[j];
           if (part[v] == -1) {
             part[v] = p;
-            size[p] += g.vwgt.empty() ? 1 : g.vwgt[v];
+            size[p] += g.vw(v);
             q[p].push_back(v);
             if (--budget <= 0 || size[p] >= target) break;
           }
@@ -315,7 +368,7 @@ void bfs_grow(const Graph& g, int32_t k, uint64_t seed, std::vector<int32_t>& pa
       for (int32_t p = 1; p < k; ++p)
         if (size[p] < size[best]) best = p;
       part[v] = best;
-      size[best] += g.vwgt.empty() ? 1 : g.vwgt[v];
+      size[best] += g.vw(v);
     }
 }
 
@@ -324,10 +377,10 @@ void bfs_grow(const Graph& g, int32_t k, uint64_t seed, std::vector<int32_t>& pa
 // costs O(deg(u)) instead of O(deg(u) + k), and only boundary nodes (and
 // neighbors of moved nodes) are revisited — makes many passes affordable
 // at k=128 on multi-million-node graphs.
-void refine(const Graph& g, int32_t k, std::vector<int32_t>& part, int passes) {
+void refine(const GraphView& g, int32_t k, std::vector<int32_t>& part, int passes) {
   const int64_t n = g.n();
   std::vector<int64_t> size(k, 0);
-  for (int64_t v = 0; v < n; ++v) size[part[v]] += g.vwgt.empty() ? 1 : g.vwgt[v];
+  for (int64_t v = 0; v < n; ++v) size[part[v]] += g.vw(v);
   int64_t total_w = 0;
   for (auto s : size) total_w += s;
   const int64_t cap = total_w / k + total_w / (4 * k) + 1;  // 1.25x balance
@@ -367,7 +420,7 @@ void refine(const Graph& g, int32_t k, std::vector<int32_t>& part, int passes) {
         acc[p] += g.ew(j);
       }
       const int64_t internal = (stamp[pu] == version) ? acc[pu] : 0;
-      const int32_t w = g.vwgt.empty() ? 1 : g.vwgt[u];
+      const int32_t w = g.vw(u);
       int32_t best = pu;
       int64_t best_gain = internal;
       for (int32_t p : touched)
@@ -407,7 +460,7 @@ void refine(const Graph& g, int32_t k, std::vector<int32_t>& part, int passes) {
 // failure mode of BFS growing (community fragments strewn across parts,
 // unfixable by single-node refinement) never arises.  Clusters larger than
 // the balance cap are split across parts in arrival order.
-void lp_grow(const Graph& g, int32_t k, uint64_t seed,
+void lp_grow(const GraphView& g, int32_t k, uint64_t seed,
              std::vector<int32_t>& part) {
   const int64_t n = g.n();
   std::vector<int32_t> lbl(n);
@@ -443,7 +496,7 @@ void lp_grow(const Graph& g, int32_t k, uint64_t seed,
   std::vector<int64_t> cw(n, 0);
   int64_t total_w = 0;
   for (int64_t v = 0; v < n; ++v) {
-    const int32_t w = g.vwgt.empty() ? 1 : g.vwgt[v];
+    const int32_t w = g.vw(v);
     cw[lbl[v]] += w;
     total_w += w;
   }
@@ -471,7 +524,7 @@ void lp_grow(const Graph& g, int32_t k, uint64_t seed,
     if (cpart[c] >= 0) {
       part[v] = cpart[c];
     } else {
-      const int32_t w = g.vwgt.empty() ? 1 : g.vwgt[v];
+      const int32_t w = g.vw(v);
       int32_t lightest = 0;
       for (int32_t p = 1; p < k; ++p)
         if (size[p] < size[lightest]) lightest = p;
@@ -486,7 +539,7 @@ void lp_grow(const Graph& g, int32_t k, uint64_t seed,
 
 namespace part {
 
-int64_t cut_weight(const Graph& g, const std::vector<int32_t>& p) {
+int64_t cut_weight(const GraphView& g, const std::vector<int32_t>& p) {
   int64_t cut = 0;
   for (int64_t u = 0; u < g.n(); ++u)
     for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j)
@@ -497,20 +550,20 @@ int64_t cut_weight(const Graph& g, const std::vector<int32_t>& p) {
 // One multilevel pass over ``g0``: coarsen (optionally restricted to the
 // parts of ``warm``), partition the coarsest (BFS multi-restart, or the
 // projected ``warm`` partition), uncoarsen with per-level refinement.
-std::vector<int32_t> ml_pass(const Graph& g0, int32_t k, uint64_t seed,
+std::vector<int32_t> ml_pass(const GraphView& g0, int32_t k, uint64_t seed,
                              const std::vector<int32_t>* warm) {
-  std::vector<const Graph*> levels{&g0};
-  std::vector<Graph> owned;
+  std::vector<GraphView> levels{g0};
+  std::vector<Graph> owned;  // inner heap buffers stay put if this grows
   owned.reserve(24);
   std::vector<std::vector<int32_t>> cmaps;
   const int64_t coarsen_to = std::max<int64_t>(4096, 8L * k);
   std::vector<int32_t> proj;  // warm partition projected to the coarsest
   if (warm) proj = *warm;
-  while (levels.back()->n() > coarsen_to && levels.size() < 24) {
+  while (levels.back().n() > coarsen_to && levels.size() < 24) {
     std::vector<int32_t> cmap;
-    Graph cg = coarsen(*levels.back(), cmap, seed + levels.size(),
+    Graph cg = coarsen(levels.back(), cmap, seed + levels.size(),
                        warm ? proj.data() : nullptr);
-    if (cg.n() >= levels.back()->n() * 95 / 100) break;  // matching stalled
+    if (cg.n() >= levels.back().n() * 95 / 100) break;  // matching stalled
     if (warm) {
       std::vector<int32_t> cproj(cg.n());
       for (size_t v = 0; v < cmap.size(); ++v) cproj[cmap[v]] = proj[v];
@@ -518,14 +571,14 @@ std::vector<int32_t> ml_pass(const Graph& g0, int32_t k, uint64_t seed,
     }
     cmaps.push_back(std::move(cmap));
     owned.push_back(std::move(cg));
-    levels.push_back(&owned.back());
+    levels.push_back(owned.back().view());
   }
   std::vector<int32_t> p;
   if (warm) {
     // V-cycle: start from the projected partition — at this level each
     // node is a same-part fragment, so refinement moves fragments wholesale
     p = std::move(proj);
-    refine(*levels.back(), k, p, 32);
+    refine(levels.back(), k, p, 32);
   } else {
     // multi-restart initial split: BFS growing AND label-prop clustering
     // (the latter wins when the graph has community structure); keep the
@@ -534,11 +587,11 @@ std::vector<int32_t> ml_pass(const Graph& g0, int32_t k, uint64_t seed,
     for (int trial = 0; trial < 4; ++trial) {
       std::vector<int32_t> cand;
       if (trial < 2)
-        lp_grow(*levels.back(), k, seed + 1000003ULL * trial, cand);
+        lp_grow(levels.back(), k, seed + 1000003ULL * trial, cand);
       else
-        bfs_grow(*levels.back(), k, seed + 1000003ULL * trial, cand);
-      refine(*levels.back(), k, cand, 16);
-      int64_t cut = cut_weight(*levels.back(), cand);
+        bfs_grow(levels.back(), k, seed + 1000003ULL * trial, cand);
+      refine(levels.back(), k, cand, 16);
+      int64_t cut = cut_weight(levels.back(), cand);
       if (best_cut < 0 || cut < best_cut) {
         best_cut = cut;
         p = std::move(cand);
@@ -550,7 +603,7 @@ std::vector<int32_t> ml_pass(const Graph& g0, int32_t k, uint64_t seed,
     std::vector<int32_t> fine(cmap.size());
     for (size_t v = 0; v < cmap.size(); ++v) fine[v] = p[cmap[v]];
     p = std::move(fine);
-    refine(*levels[l], k, p, 8);
+    refine(levels[l], k, p, 8);
   }
   return p;
 }
@@ -560,10 +613,8 @@ std::vector<int32_t> ml_pass(const Graph& g0, int32_t k, uint64_t seed,
 void partition_kway(const int64_t* indptr, const int32_t* indices,
                     int64_t num_nodes, int32_t k, uint64_t seed,
                     int32_t* out_part) {
-  part::Graph g;
-  g.indptr.assign(indptr, indptr + num_nodes + 1);
-  g.indices.assign(indices, indices + indptr[num_nodes]);
-  g.vwgt.assign(num_nodes, 1);
+  // zero-copy view over the caller's CSR (weights implicit 1)
+  part::GraphView g{indptr, indices, nullptr, nullptr, num_nodes};
 
   const bool dbg = std::getenv("FALCON_PART_DEBUG") != nullptr;
   auto now = [] { return std::chrono::steady_clock::now(); };
@@ -589,7 +640,7 @@ void partition_kway(const int64_t* indptr, const int32_t* indices,
   // no-structure guard: if the best cut is already near random ((k-1)/k of
   // the edges; 0.8 covers k >= 8), the graph is expander-like and V-cycles
   // cannot help — skip them instead of paying a full re-coarsening
-  const int64_t total_ew = static_cast<int64_t>(g.indices.size());
+  const int64_t total_ew = g.m();
   for (int cycle = 0; cycle < 2 && best < total_ew * 4 / 5; ++cycle) {
     std::vector<int32_t> cand =
         part::ml_pass(g, k, seed + 7919ULL * (cycle + 1), &p);
