@@ -407,7 +407,10 @@ class SageTrainer:
                     f"{g.num_edges}; use {path_hint}")
 
         if cfg.use_sample:  # --mode puregpu in-jit sampling: CSR in HBM
-            guard_int32("host sampling (--mode mixed)")
+            guard_int32("--node-shard --dist (multi-chip ragged edge "
+                        "blocks, block-local int32 indices — see "
+                        "tests/test_parallel.py int64-global-edge cases) "
+                        "or host sampling (--mode mixed)")
             # --dist: replicate the CSR into every chip's HBM so each chip
             # samples its own batch shard (per-rank sampling)
             if getattr(self, "mesh", None) is not None and cfg.dist:
