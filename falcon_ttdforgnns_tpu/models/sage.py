@@ -93,6 +93,13 @@ class SAGE(nn.Module):
     # --bf16: conv tower in bfloat16 (params f32, activations bf16) — the
     # fanout-level activations dominate step HBM traffic at products scale
     bf16: bool = False
+    # --bf16-mean-f32: under bf16, accumulate the fanout means with an f32
+    # reduce accumulator (output cast back to bf16).  This is NOT the
+    # round-3 input-upcast trap (which materialized the biggest level as a
+    # 307 MB f32 copy): lax.reduce with dtype=f32 fuses the convert into
+    # the reduction, so only the accumulator is wide.  Candidate fix for
+    # the bf16 convergence lag if the tower half is responsible.
+    mean_acc_f32: bool = False
 
     def setup(self):
         self.embed_layer = make_embed_layer(
@@ -153,9 +160,14 @@ class SAGE(nn.Module):
                 # 3.8 ms/step of convert+copy+reshape, logs/r3_profile.log).
                 # Under --bf16 the ~1e-2 accumulation error over <=15 terms
                 # is within the opt-in's precision contract.
+                acc_dt = (jnp.float32 if (self.mean_acc_f32
+                                          and hs[lev + 1].dtype
+                                          == jnp.bfloat16)
+                          else hs[lev + 1].dtype)
                 h_neigh = (hs[lev + 1]
                            .reshape(B, hs[lev].shape[1], f, d)
-                           .mean(axis=2, dtype=hs[lev + 1].dtype))
+                           .mean(axis=2, dtype=acc_dt)
+                           .astype(hs[lev + 1].dtype))
                 h = conv(hs[lev], h_neigh)
                 if li < self.num_layers - 1:
                     h = nn.relu(h)

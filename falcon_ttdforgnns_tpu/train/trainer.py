@@ -75,6 +75,9 @@ class TrainConfig:
     # under an f32 tower.  cfg.bf16 implies both.
     bf16_tower: bool = False
     bf16_kernel: bool = False
+    # f32-accumulated fanout means under a bf16 tower (candidate fix for
+    # the bf16 convergence lag; see models/sage.py mean_acc_f32)
+    bf16_mean_f32: bool = False
     # Device-resident multi-step: stack S sampled batches host-side and run
     # S optimizer steps inside one jitted fori_loop per dispatch.  Amortizes
     # host/dispatch overhead (essential under remote-attached TPUs; measured
@@ -198,6 +201,7 @@ class SageTrainer:
             # and the ring-SpMM accumulates f32 into the carry — scope the
             # flag to the sampled trainers and run full-neighbor in f32
             bf16=(cfg.bf16 or cfg.bf16_tower) and cfg.use_sample,
+            mean_acc_f32=cfg.bf16_mean_f32,
             # with in-jit sampling the host loader never runs, so the
             # device-side LFU counters are the only frequency source
             device_freq=(cfg.mode == "puregpu" and cfg.cache_size > 0),

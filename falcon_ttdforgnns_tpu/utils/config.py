@@ -102,6 +102,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     t.add_argument("--bf16-kernel", action="store_true",
                    help="precision-attribution half of --bf16: fused-kernel "
                         "h_all/d_h in bf16, tower stays f32")
+    t.add_argument("--bf16-mean-f32", action="store_true",
+                   help="with a bf16 tower: accumulate the fanout means in "
+                        "f32 (fused reduce accumulator, bf16 output) — "
+                        "convergence-lag fix candidate for the tower half")
     t.add_argument("--use-tt", action="store_true", default=True)
     t.add_argument("--no-tt", dest="use_tt", action="store_false")
     t.add_argument("--tt-rank", type=_int_list, default=[16, 16])

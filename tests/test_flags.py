@@ -548,6 +548,24 @@ class TestBf16:
         assert abs(losses["tower"] - losses["f32"]) < 5e-2
         assert abs(losses["kernel"] - losses["f32"]) < 5e-2
 
+    def test_bf16_mean_f32_accumulation(self):
+        """--bf16-mean-f32: under a bf16 tower the fanout means accumulate
+        in f32 (output cast back to bf16) — the tower-half convergence-lag
+        fix candidate.  Must thread to the model, train, and stay within
+        bf16 tolerance of the plain bf16 step (it only changes the reduce
+        accumulator, not the program)."""
+        ds = small_ds(n=600)
+        common = dict(mode="puregpu", steps_per_call=2, batch_size=32,
+                      dropout=0.0, bf16=True)
+        tr = SageTrainer(ds, small_cfg(bf16_mean_f32=True, **common))
+        assert tr.model.mean_acc_f32
+        m = tr.train_epoch(0)
+        tr_p = SageTrainer(ds, small_cfg(**common))
+        assert not tr_p.model.mean_acc_f32
+        m_p = tr_p.train_epoch(0)
+        assert np.isfinite(m["loss"])
+        assert abs(m["loss"] - m_p["loss"]) < 5e-2
+
 
 class TestEpochEdgeCases:
     def test_wrap_full_cyclic(self):
