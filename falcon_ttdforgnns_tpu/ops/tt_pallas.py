@@ -117,7 +117,27 @@ def _gather_crt(shapes: TTShapes, block: int, compute_dtype,
     return crT, ohs
 
 
-def _fwd_chain(shapes: TTShapes, crT, out_ref=None, skip_last=False):
+def _sr_cast(seg, salt, block: int, out_dtype):
+    """Stochastic-round ``seg`` (f32) to ``out_dtype`` (bf16): add uniform
+    random low-16 bits to the f32 significand, truncate.  E[result] = seg
+    exactly (sign fixed, magnitude-space linear), unlike round-to-nearest
+    whose per-element bias is what SR exists to remove.  Bits come from a
+    splitmix32 finalizer over the element's global id + ``salt`` — pure
+    VPU integer ops, identical compiled and interpreted (no pltpu PRNG)."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, seg.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, seg.shape, 1)
+    z = salt + rows * jnp.uint32(block) + cols
+    z = (z ^ (z >> 16)) * jnp.uint32(0x85EBCA6B)
+    z = (z ^ (z >> 13)) * jnp.uint32(0xC2B2AE35)
+    z = z ^ (z >> 16)
+    u = jax.lax.bitcast_convert_type(seg.astype(jnp.float32), jnp.uint32)
+    r = jax.lax.bitcast_convert_type(
+        (u + (z & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000), jnp.float32)
+    return r.astype(out_dtype)
+
+
+def _fwd_chain(shapes: TTShapes, crT, out_ref=None, skip_last=False,
+               cast_fn=None):
     """Contract the TT chain over the transposed per-index tiles.
 
     Running state: one (r_out, block) tile per flattened q-prefix.  When
@@ -154,7 +174,9 @@ def _fwd_chain(shapes: TTShapes, crT, out_ref=None, skip_last=False):
                 if out_ref is not None:
                     # out_ref may be bf16 (out_dtype): cast at store so the
                     # whole h_all tensor ships at half the HBM bytes
-                    out_ref[d * qk:(d + 1) * qk, :] = seg.astype(out_ref.dtype)
+                    out_ref[d * qk:(d + 1) * qk, :] = (
+                        cast_fn(seg, d * qk) if cast_fn is not None
+                        else seg.astype(out_ref.dtype))
             else:
                 for u in range(qk):
                     new_state.append(seg[u * r_out:(u + 1) * r_out, :])
@@ -233,6 +255,25 @@ def _fwd_kernel(shapes: TTShapes, block: int, compute_dtype, *refs):
     idx_ref, core_refs, out_ref = refs[0], refs[1:-1], refs[-1]
     crT, _ = _gather_crt(shapes, block, compute_dtype, idx_ref[:], core_refs)
     _fwd_chain(shapes, crT, out_ref)
+
+
+def _fwd_kernel_sr(shapes: TTShapes, block: int, compute_dtype, *refs):
+    """Forward with STOCHASTIC rounding on the bf16 h_all store (--bf16-sr
+    experiment): per-step seed arrives as an SMEM scalar; each store gets
+    bits salted by (seed, grid block, row offset) so no element reuses a
+    dither pattern across steps."""
+    idx_ref, seed_ref = refs[0], refs[1]
+    core_refs, out_ref = refs[2:-1], refs[-1]
+    base = (seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+            + pl.program_id(0).astype(jnp.uint32)
+            * jnp.uint32(shapes.embedding_dim * block))
+
+    def cast_fn(seg, row_off):
+        return _sr_cast(seg, base + jnp.uint32(row_off * block), block,
+                        out_ref.dtype)
+
+    crT, _ = _gather_crt(shapes, block, compute_dtype, idx_ref[:], core_refs)
+    _fwd_chain(shapes, crT, out_ref, cast_fn=cast_fn)
 
 
 def _bwd_kernel(shapes: TTShapes, block: int, compute_dtype, *refs):
@@ -488,6 +529,47 @@ def tt_lookup_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
     return outT.T
 
 
+def tt_lookup_pallas_sr(shapes: TTShapes, cores: Cores, indices: jax.Array,
+                        seed: jax.Array, block: int = 1024,
+                        compute_dtype=None,
+                        interpret: Optional[bool] = None,
+                        out_dtype=jnp.bfloat16) -> jax.Array:
+    """:func:`tt_lookup_pallas` with stochastic rounding on the bf16 store
+    (--bf16-sr experiment: kill the forward-quantization bias of the bf16
+    h_all).  ``seed`` is a traced int32 scalar varied per step."""
+    compute_dtype, interpret = _resolve(compute_dtype, interpret)
+    if shapes.ndim not in (2, 3, 4):
+        raise ValueError("pallas kernel supports 2-4 core TT")
+    B = indices.shape[0]
+    if B % block != 0:
+        raise ValueError(f"B={B} must be a multiple of block={block}")
+    n_blocks = B // block
+
+    cts = _core_unfoldings(shapes, cores, compute_dtype)
+    flops = 2 * B * sum(shapes.p_shapes[k] * _core_rows(shapes, k)
+                        for k in range(shapes.ndim))
+    outT = pl.pallas_call(
+        functools.partial(_fwd_kernel_sr, shapes, block, compute_dtype),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * shapes.ndim,
+        out_specs=pl.BlockSpec((shapes.embedding_dim, block),
+                               lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((shapes.embedding_dim, B), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(B * 4 + B * shapes.embedding_dim
+                            * jnp.dtype(out_dtype).itemsize),
+            transcendentals=0),
+        compiler_params=_compiler_params(block),
+        interpret=interpret,
+    )(indices.astype(jnp.int32),
+      jnp.asarray(seed, jnp.int32).reshape(1), *cts)
+    return outT.T
+
+
 def tt_lookup_pallas_padded(shapes: TTShapes, cores: Cores,
                             indices: jax.Array, block: int = 1024,
                             compute_dtype=None,
@@ -606,6 +688,35 @@ def _fused_bf16_bwd(shapes, block, res, d_out):
 
 
 tt_lookup_fused_bf16.defvjp(_fused_bf16_fwd, _fused_bf16_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def tt_lookup_fused_bf16_sr(shapes: TTShapes, block: int, cores: Cores,
+                            indices: jax.Array,
+                            seed: jax.Array) -> jax.Array:
+    """:func:`tt_lookup_fused_bf16` with STOCHASTIC rounding on the h_all
+    store (--bf16-sr): removes the per-element round-to-nearest bias of
+    the bf16 forward at zero extra HBM bytes (bits are hashed in-VMEM).
+    ``seed`` is a traced int32 scalar, varied per step by the caller;
+    backward is identical to the RN variant (d_h consumed natively)."""
+    B = indices.shape[0]
+    pad = (-B) % block
+    idx = jnp.pad(indices, (0, pad)) if pad else indices
+    out = tt_lookup_pallas_sr(shapes, cores, idx, seed, block)
+    return out[:B] if pad else out
+
+
+def _fused_bf16_sr_fwd(shapes, block, cores, indices, seed):
+    return (tt_lookup_fused_bf16_sr(shapes, block, cores, indices, seed),
+            (cores, indices))
+
+
+def _fused_bf16_sr_bwd(shapes, block, res, d_out):
+    grads, _ = _fused_bf16_bwd(shapes, block, res, d_out)
+    return grads, None, None
+
+
+tt_lookup_fused_bf16_sr.defvjp(_fused_bf16_sr_fwd, _fused_bf16_sr_bwd)
 
 
 # ---------------------------------------------------------------------------

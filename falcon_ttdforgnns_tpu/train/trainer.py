@@ -78,6 +78,9 @@ class TrainConfig:
     # f32-accumulated fanout means under a bf16 tower (candidate fix for
     # the bf16 convergence lag; see models/sage.py mean_acc_f32)
     bf16_mean_f32: bool = False
+    # stochastic rounding on the fused kernel's bf16 h_all store (candidate
+    # fix for the kernel half of the lag; ops/tt_pallas.py _sr_cast)
+    bf16_sr: bool = False
     # Device-resident multi-step: stack S sampled batches host-side and run
     # S optimizer steps inside one jitted fori_loop per dispatch.  Amortizes
     # host/dispatch overhead (essential under remote-attached TPUs; measured
@@ -555,6 +558,7 @@ class SageTrainer:
         # fixed in-kernel lr.
         from ..models.sage import SAGE, collect_level_ids
         from ..ops.tt_pallas import (tt_lookup_fused, tt_lookup_fused_bf16,
+                                     tt_lookup_fused_bf16_sr,
                                      tt_fused_sgd_pallas,
                                      tt_fused_adagrad_pallas,
                                      tt_fused_adam_pallas)
@@ -580,10 +584,21 @@ class SageTrainer:
             # consumes the bf16 d_h natively — halves the HBM bytes of the
             # step's dominant non-kernel traffic (the 375 MB h_all/d_h
             # tensors and their layout copies; logs/r3_profile.log)
-            lookup = (tt_lookup_fused_bf16 if (cfg.bf16 or cfg.bf16_kernel)
-                      else tt_lookup_fused)
-            h_all = jax.lax.stop_gradient(
-                lookup(shapes, block, cores, all_ids.astype(jnp.int32)))
+            if (cfg.bf16 or cfg.bf16_kernel) and cfg.bf16_sr:
+                # --bf16-sr: stochastic rounding on the bf16 h_all store —
+                # per-step seed from the dropout rng so the dither never
+                # repeats across steps (repeating dither = frozen bias)
+                sr_seed = jax.random.randint(
+                    jax.random.fold_in(rng, 0x5EED), (), 0, 2**31 - 1)
+                h_all = jax.lax.stop_gradient(tt_lookup_fused_bf16_sr(
+                    shapes, block, cores, all_ids.astype(jnp.int32),
+                    sr_seed))
+            else:
+                lookup = (tt_lookup_fused_bf16
+                          if (cfg.bf16 or cfg.bf16_kernel)
+                          else tt_lookup_fused)
+                h_all = jax.lax.stop_gradient(
+                    lookup(shapes, block, cores, all_ids.astype(jnp.int32)))
 
             def loss_fn(p, h):
                 out, mutated = model.apply(

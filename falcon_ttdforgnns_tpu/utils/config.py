@@ -106,6 +106,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="with a bf16 tower: accumulate the fanout means in "
                         "f32 (fused reduce accumulator, bf16 output) — "
                         "convergence-lag fix candidate for the tower half")
+    t.add_argument("--bf16-sr", action="store_true",
+                   help="with bf16 kernel I/O: stochastic rounding on the "
+                        "h_all store (in-VMEM hashed dither, zero extra "
+                        "HBM bytes) — convergence-lag fix candidate for "
+                        "the kernel half")
     t.add_argument("--use-tt", action="store_true", default=True)
     t.add_argument("--no-tt", dest="use_tt", action="store_false")
     t.add_argument("--tt-rank", type=_int_list, default=[16, 16])

@@ -566,6 +566,21 @@ class TestBf16:
         assert np.isfinite(m["loss"])
         assert abs(m["loss"] - m_p["loss"]) < 5e-2
 
+    def test_bf16_sr_store(self):
+        """--bf16-sr: the fused-sparse step stores h_all with stochastic
+        rounding (kernel-half convergence-lag fix candidate).  Trains,
+        stays within bf16 tolerance of the RN bf16 step."""
+        ds = small_ds(n=600)
+        common = dict(sparse=True, tt_optimizer="adam", dropout=0.0,
+                      batch_size=32, steps_per_call=2, bf16=True)
+        tr = SageTrainer(ds, small_cfg(bf16_sr=True, **common))
+        assert tr._fused_sparse
+        m = tr.train_epoch(0)
+        tr_rn = SageTrainer(ds, small_cfg(**common))
+        m_rn = tr_rn.train_epoch(0)
+        assert np.isfinite(m["loss"])
+        assert abs(m["loss"] - m_rn["loss"]) < 5e-2
+
 
 class TestEpochEdgeCases:
     def test_wrap_full_cyclic(self):

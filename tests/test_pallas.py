@@ -258,3 +258,49 @@ def test_fused_bf16_lookup_and_grads(case):
         assert a.dtype == jnp.float32
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=5e-1)
+
+
+def test_fused_bf16_sr_lookup(case):
+    """tt_lookup_fused_bf16_sr (--bf16-sr): stochastic rounding on the
+    h_all store.  (a) close to the f32 path within bf16 ulp; (b) the
+    seed-averaged SR output beats (or matches) round-to-nearest's distance
+    to the f32 truth — SR is unbiased where RN has a per-element bias;
+    (c) different seeds produce different dither; (d) the VJP matches the
+    RN variant (the backward is seed-free)."""
+    from falcon_ttdforgnns_tpu.ops.tt_pallas import (tt_lookup_fused,
+                                                     tt_lookup_fused_bf16_sr)
+    shapes, cores = case
+    idx = jnp.asarray(np.random.default_rng(51).integers(
+        0, shapes.num_embeddings, 256).astype(np.int32))
+    out32 = np.asarray(tt_lookup_fused(shapes, 128, cores, idx),
+                       np.float64)
+    outs = [np.asarray(tt_lookup_fused_bf16_sr(
+                shapes, 128, cores, idx, jnp.int32(s)), np.float64)
+            for s in range(16)]
+    assert not np.array_equal(outs[0], outs[1])  # dither varies with seed
+    for o in outs:
+        np.testing.assert_allclose(o, out32, rtol=2e-2, atol=2e-2)
+    # unbiasedness: the 16-seed mean must be at least as close to the f32
+    # truth as one RN cast (strictly closer wherever RN is biased)
+    rn = np.asarray(out32.astype(np.float32), np.float64)
+    rn_err = np.abs(np.asarray(
+        jnp.asarray(out32, jnp.float32).astype(jnp.bfloat16), np.float64)
+        - out32).mean()
+    sr_err = np.abs(np.mean(outs, axis=0) - out32).mean()
+    assert sr_err <= rn_err * 1.05
+    del rn
+
+    def loss_sr(cs):
+        return jnp.sum(tt_lookup_fused_bf16_sr(shapes, 128, cs, idx,
+                                               jnp.int32(7))
+                       .astype(jnp.float32) ** 2)
+
+    def loss32(cs):
+        return jnp.sum(tt_lookup_fused(shapes, 128, cs, idx) ** 2)
+
+    g_sr = jax.grad(loss_sr)(cores)
+    g32 = jax.grad(loss32)(cores)
+    for a, b in zip(g_sr, g32):
+        assert a.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-1)
