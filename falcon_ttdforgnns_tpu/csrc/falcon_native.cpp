@@ -316,6 +316,12 @@ Graph coarsen(const GraphView& g, std::vector<int32_t>& cmap, uint64_t seed,
     cg.indptr[v + 1] = w;
   }
   flat_nbr.resize(w);
+  // resize() keeps the pre-dedup capacity and push_back growth doubles
+  // wbuf past the dedup count — at papers scale (1.6B cross edges) that
+  // slack alone is >10 GB per retained level; trade a transient
+  // realloc+copy for exact-capacity buffers
+  flat_nbr.shrink_to_fit();
+  wbuf.shrink_to_fit();
   cg.indices = std::move(flat_nbr);
   cg.ewgt = std::move(wbuf);
   return cg;
@@ -550,12 +556,34 @@ int64_t cut_weight(const GraphView& g, const std::vector<int32_t>& p) {
 // One multilevel pass over ``g0``: coarsen (optionally restricted to the
 // parts of ``warm``), partition the coarsest (BFS multi-restart, or the
 // projected ``warm`` partition), uncoarsen with per-level refinement.
+// Levels with more edges than this are not kept for uncoarsening
+// refinement: their owned buffers are FREED as soon as the next coarser
+// level exists, and the upward pass projects through them without a
+// refine step.  This is a memory SAFETY VALVE, not a tuning knob:
+// skipping fine-level refinement costs real cut quality (measured at
+// products scale: 0.19 -> 0.43 cut fraction when the top two levels
+// skip), so the default cap (1.5B edges) is set to never trigger at the
+// half-papers scale a 125 GB host can fit — the capacity fixes in
+// coarsen() (shrink_to_fit; measured ~37 B/input-edge all-in peak) are
+// what make that scale fit.  At FULL papers scale (3.3B directed edges)
+// the first owned level (~2.6B edges, >20 GB) trips the cap and is
+// projected through — the quality loss is the price of fitting at all.
+// Override: FALCON_PART_MAX_REFINE_EDGES.
+int64_t max_refine_edges() {
+  if (const char* s = std::getenv("FALCON_PART_MAX_REFINE_EDGES"))
+    return std::atoll(s);
+  return 1500LL * 1000 * 1000;
+}
+
 std::vector<int32_t> ml_pass(const GraphView& g0, int32_t k, uint64_t seed,
                              const std::vector<int32_t>* warm) {
   std::vector<GraphView> levels{g0};
   std::vector<Graph> owned;  // inner heap buffers stay put if this grows
   owned.reserve(24);
   std::vector<std::vector<int32_t>> cmaps;
+  std::vector<char> refinable{1};  // parallel to `levels`
+  const int64_t refine_cap = max_refine_edges();
+  refinable[0] = g0.m() <= refine_cap;
   const int64_t coarsen_to = std::max<int64_t>(4096, 8L * k);
   std::vector<int32_t> proj;  // warm partition projected to the coarsest
   if (warm) proj = *warm;
@@ -569,9 +597,22 @@ std::vector<int32_t> ml_pass(const GraphView& g0, int32_t k, uint64_t seed,
       for (size_t v = 0; v < cmap.size(); ++v) cproj[cmap[v]] = proj[v];
       proj = std::move(cproj);
     }
+    // the previous level's graph is no longer read once the coarser one
+    // exists — if it is owned and over the refine cap, free it now (its
+    // cmap, all the upward pass needs for projection, stays)
+    const size_t prev = levels.size() - 1;
+    if (prev >= 1 && !refinable[prev]) {
+      Graph& og = owned[prev - 1];
+      og.indptr = std::vector<int64_t>();
+      og.indices = std::vector<int32_t>();
+      og.ewgt = std::vector<int32_t>();
+      og.vwgt = std::vector<int32_t>();
+    }
     cmaps.push_back(std::move(cmap));
     owned.push_back(std::move(cg));
     levels.push_back(owned.back().view());
+    refinable.push_back(
+        static_cast<int64_t>(owned.back().indices.size()) <= refine_cap);
   }
   std::vector<int32_t> p;
   if (warm) {
@@ -603,7 +644,9 @@ std::vector<int32_t> ml_pass(const GraphView& g0, int32_t k, uint64_t seed,
     std::vector<int32_t> fine(cmap.size());
     for (size_t v = 0; v < cmap.size(); ++v) fine[v] = p[cmap[v]];
     p = std::move(fine);
-    refine(levels[l], k, p, 8);
+    // over-cap levels were freed on the way down (their views dangle):
+    // project through without a refine step
+    if (refinable[l]) refine(levels[l], k, p, 8);
   }
   return p;
 }
