@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-GATE_LOG = "logs/r4_papers_reorder.log"
+GATE_LOG = os.environ.get("PAPERS_GATE_LOG", "logs/r4_papers_reorder.log")
 LEVELS = [400, 500, 600]
 
 
