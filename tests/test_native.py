@@ -71,6 +71,19 @@ class TestNativePartition:
         cut_rnd = (rnd[src] != rnd[dst]).mean()
         assert cut < cut_rnd
 
+    def test_refine_skip_valve_valid(self, graph, monkeypatch):
+        """FALCON_PART_MAX_REFINE_EDGES (the papers-scale memory safety
+        valve): with the cap forced below every level, owned levels are
+        freed on the way down and the upward pass projects through
+        without refinement — the partition must still be a valid,
+        balanced k-way assignment (quality drops, validity must not)."""
+        monkeypatch.setenv("FALCON_PART_MAX_REFINE_EDGES", "10")
+        part = _native.partition_kway(graph.indptr, graph.indices, 8, 0)
+        assert part.shape == (graph.num_nodes,)
+        sizes = np.bincount(part, minlength=8)
+        assert sizes.min() > 0
+        assert sizes.max() <= 2.0 * graph.num_nodes / 8
+
 
 def test_build_csr_deterministic_row_order():
     """The threaded builder's atomic scatter must not leak thread
