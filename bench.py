@@ -18,13 +18,50 @@ vs_baseline > 1 means faster than the reference kernel.  Details go to
 stderr.
 """
 
+import glob
 import json
+import os
+import re
 import sys
 import time
 
 import numpy as np
 
 BASELINE_EFFI_MS = 3.8593  # Efficient_TT per-1024 lookup, RTX GPU (README.md:106)
+
+
+def _prev_round_value():
+    """Latest BENCH_r*.json value, for the regression guard (VERDICT r4 #7)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+            val = doc.get("parsed", doc).get("value")
+        except Exception:
+            continue
+        if val is not None and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), float(val))
+    return best  # (round, value) or None
+
+
+def _env_versions():
+    import jax, jaxlib
+    out = {"jax": jax.__version__, "jaxlib": jaxlib.__version__}
+    try:
+        import libtpu
+        out["libtpu"] = getattr(libtpu, "__version__", "?")
+    except Exception:
+        pass
+    try:
+        out["platform_version"] = jax.devices()[0].client.platform_version.replace("\n", "; ")
+    except Exception:
+        pass
+    return out
 
 
 def main():
@@ -81,12 +118,23 @@ def main():
     if not results:
         sys.exit("bench: every lookup path failed (see stderr above)")
     best = min(results.values())
-    print(json.dumps({
+    doc = {
         "metric": "tt_embedding_lookup_per_1024_rows_products_ms",
         "value": round(best, 4),
         "unit": "ms",
         "vs_baseline": round(BASELINE_EFFI_MS / best, 2),
-    }))
+        "env": _env_versions(),
+    }
+    prev = _prev_round_value()
+    if prev is not None:
+        doc["prev"] = {"round": prev[0], "value": prev[1]}
+        doc["delta"] = round(best / prev[1], 3)  # >1 = slower than last round
+        flag = ""
+        if best > prev[1] * 1.5:
+            flag = "  *** REGRESSION >1.5x vs previous round — investigate before trusting this round's chip numbers ***"
+        print(f"prev round r{prev[0]}: {prev[1]:.4f} ms/1024; this run "
+              f"{best:.4f} (x{doc['delta']}){flag}", file=sys.stderr)
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":
