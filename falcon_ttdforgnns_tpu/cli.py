@@ -85,6 +85,7 @@ def main(argv=None):
                     "approx-uniform") else "approx-normal",
                 cache_size=args.cache_size if args.use_cached else 0,
                 tt_optimizer=args.tt_optimizer,
+                plateau_patience=args.plateau_patience,
                 sparse=args.sparse,
                 batch_count=args.batch_count,
                 spmm=args.spmm,

@@ -599,7 +599,9 @@ std::vector<int32_t> ml_pass(const GraphView& g0, int32_t k, uint64_t seed,
     }
     // the previous level's graph is no longer read once the coarser one
     // exists — if it is owned and over the refine cap, free it now (its
-    // cmap, all the upward pass needs for projection, stays)
+    // cmap, all the upward pass needs for projection, stays); null the
+    // view too so any stray read of the freed level faults immediately
+    // instead of chasing dangling pointers
     const size_t prev = levels.size() - 1;
     if (prev >= 1 && !refinable[prev]) {
       Graph& og = owned[prev - 1];
@@ -607,6 +609,7 @@ std::vector<int32_t> ml_pass(const GraphView& g0, int32_t k, uint64_t seed,
       og.indices = std::vector<int32_t>();
       og.ewgt = std::vector<int32_t>();
       og.vwgt = std::vector<int32_t>();
+      levels[prev] = GraphView{nullptr, nullptr, nullptr, nullptr, 0};
     }
     cmaps.push_back(std::move(cmap));
     owned.push_back(std::move(cg));
@@ -639,12 +642,24 @@ std::vector<int32_t> ml_pass(const GraphView& g0, int32_t k, uint64_t seed,
       }
     }
   }
+  // if the coarsening loop exited via the matching-stall break, the
+  // coarsest owned level may itself be over the refine cap; it was needed
+  // for the initial partition above but nothing reads it past this point
+  // — free it so the safety valve caps memory on that path too
+  if (!owned.empty() && !refinable.back()) {
+    Graph& og = owned.back();
+    og.indptr = std::vector<int64_t>();
+    og.indices = std::vector<int32_t>();
+    og.ewgt = std::vector<int32_t>();
+    og.vwgt = std::vector<int32_t>();
+    levels.back() = GraphView{nullptr, nullptr, nullptr, nullptr, 0};
+  }
   for (int64_t l = static_cast<int64_t>(cmaps.size()) - 1; l >= 0; --l) {
     const auto& cmap = cmaps[l];
     std::vector<int32_t> fine(cmap.size());
     for (size_t v = 0; v < cmap.size(); ++v) fine[v] = p[cmap[v]];
     p = std::move(fine);
-    // over-cap levels were freed on the way down (their views dangle):
+    // over-cap levels were freed on the way down (their views are nulled):
     // project through without a refine step
     if (refinable[l]) refine(levels[l], k, p, 8);
   }

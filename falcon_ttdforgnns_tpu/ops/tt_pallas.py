@@ -37,6 +37,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -485,6 +486,12 @@ def _tile_specs(shapes: TTShapes):
     return specs, shp
 
 
+def _unfold_bytes(cts) -> int:
+    """Total bytes of the TT core unfoldings a lookup kernel reads (the
+    cost-estimate hint previously counted only indices + output; ADVICE r4)."""
+    return sum(int(np.prod(c.shape)) * c.dtype.itemsize for c in cts)
+
+
 def tt_lookup_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
                      block: int = 1024,
                      compute_dtype=None,
@@ -520,7 +527,8 @@ def tt_lookup_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
         out_shape=jax.ShapeDtypeStruct((shapes.embedding_dim, B), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(B * 4 + B * shapes.embedding_dim
+            bytes_accessed=(B * 4 + _unfold_bytes(cts)
+                            + B * shapes.embedding_dim
                             * jnp.dtype(out_dtype).itemsize),
             transcendentals=0),
         compiler_params=_compiler_params(block),
@@ -538,6 +546,10 @@ def tt_lookup_pallas_sr(shapes: TTShapes, cores: Cores, indices: jax.Array,
     (--bf16-sr experiment: kill the forward-quantization bias of the bf16
     h_all).  ``seed`` is a traced int32 scalar varied per step."""
     compute_dtype, interpret = _resolve(compute_dtype, interpret)
+    if jnp.dtype(out_dtype) != jnp.bfloat16:
+        # _sr_cast dithers the low 16 significand bits specifically for a
+        # truncate-to-bf16 store; any other target would silently mis-round
+        raise ValueError("tt_lookup_pallas_sr only supports out_dtype=bfloat16")
     if shapes.ndim not in (2, 3, 4):
         raise ValueError("pallas kernel supports 2-4 core TT")
     B = indices.shape[0]
@@ -560,7 +572,8 @@ def tt_lookup_pallas_sr(shapes: TTShapes, cores: Cores, indices: jax.Array,
         out_shape=jax.ShapeDtypeStruct((shapes.embedding_dim, B), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(B * 4 + B * shapes.embedding_dim
+            bytes_accessed=(B * 4 + 4 + _unfold_bytes(cts)
+                            + B * shapes.embedding_dim
                             * jnp.dtype(out_dtype).itemsize),
             transcendentals=0),
         compiler_params=_compiler_params(block),

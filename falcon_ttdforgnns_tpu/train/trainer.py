@@ -11,6 +11,7 @@ annotation, not a code path (parallel/data_parallel.py).
 
 from __future__ import annotations
 
+import sys
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -47,7 +48,7 @@ class TrainConfig:
     weight_dist: str = "approx-normal"
     cache_size: int = 0
     tt_optimizer: str = "adam"
-    plateau_patience: int = 800
+    plateau_patience: int = 800  # 0 disables reduce-on-plateau entirely
     eval_every: int = 1
     log_every: int = 20
     seed: int = 0
@@ -181,6 +182,19 @@ class SageTrainer:
         self.cfg = config
         self.logger = logger
         cfg = config
+        # bf16 sub-mode flags are refinements of a bf16 base mode; a probe
+        # run that sets one without its prerequisite would silently train
+        # an unchanged config (ADVICE r4) — warn loudly instead
+        warn = logger.warning if logger else (lambda m: print(m, file=sys.stderr))
+        if cfg.bf16_sr and not (cfg.bf16 or cfg.bf16_kernel):
+            warn("--bf16-sr has no effect without --bf16/--bf16-kernel "
+                 "(the SR store targets the bf16 h_all); running unchanged")
+        elif cfg.bf16_sr and not cfg.sparse:
+            warn("--bf16-sr only applies to the fused --sparse path; the "
+                 "dense path ignores it and runs unchanged")
+        if cfg.bf16_mean_f32 and not (cfg.bf16 or cfg.bf16_tower):
+            warn("--bf16-mean-f32 has no effect without --bf16/--bf16-tower "
+                 "(the tower means are already f32); running unchanged")
         self.model = SAGE(
             num_nodes=dataset.num_nodes,
             in_dim=dataset.feat_dim,
@@ -212,6 +226,7 @@ class SageTrainer:
         self.tx = make_optimizer(
             lr=cfg.lr, weight_decay=cfg.weight_decay,
             tt_optimizer=cfg.tt_optimizer,
+            plateau=cfg.plateau_patience > 0,
             plateau_patience=cfg.plateau_patience)
         self.loader = NeighborLoader(
             dataset.graph, dataset.train_idx, dataset.labels,

@@ -24,6 +24,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     g.add_argument("--dataset", type=str, default="ogbn-products")
     g.add_argument("--epochs", type=int, default=2)
     g.add_argument("--lr", type=float, default=0.003)
+    g.add_argument("--plateau-patience", type=int, default=800,
+                   help="ReduceLROnPlateau patience in steps "
+                        "(sage_dgl_partition.py:107); 0 disables the "
+                        "plateau scheduler entirely")
     g.add_argument("--dropout", type=float, default=0.5)
     g.add_argument("--wd", type=float, default=0.0, help="weight decay")
     g.add_argument("--seed", type=int, default=0)

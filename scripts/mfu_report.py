@@ -35,9 +35,6 @@ def products_step_model(bf16: bool):
     block = 1024
 
     widths = [1]
-    for f in reversed(fanouts):
-        widths.append(widths[-1] * f)           # [1, 15, 150, 750]... wait
-    widths = [1]
     acc = 1
     for f in reversed(fanouts):
         acc *= f

@@ -282,13 +282,11 @@ def test_fused_bf16_sr_lookup(case):
         np.testing.assert_allclose(o, out32, rtol=2e-2, atol=2e-2)
     # unbiasedness: the 16-seed mean must be at least as close to the f32
     # truth as one RN cast (strictly closer wherever RN is biased)
-    rn = np.asarray(out32.astype(np.float32), np.float64)
     rn_err = np.abs(np.asarray(
         jnp.asarray(out32, jnp.float32).astype(jnp.bfloat16), np.float64)
         - out32).mean()
     sr_err = np.abs(np.mean(outs, axis=0) - out32).mean()
     assert sr_err <= rn_err * 1.05
-    del rn
 
     def loss_sr(cs):
         return jnp.sum(tt_lookup_fused_bf16_sr(shapes, 128, cs, idx,
