@@ -663,3 +663,36 @@ class TestPuregpuCacheLifecycle:
         expect = max(1, math.ceil(n / per_group)) * 4
         tr.train_epoch(0)
         assert tr.step == expect
+
+
+class TestPlateauPatience:
+    def test_zero_disables_plateau_transform(self):
+        """--plateau-patience 0 must build an optimizer with NO PlateauState
+        leaf (plateau_scale == 1.0 forever); the default keeps it."""
+        from falcon_ttdforgnns_tpu.train.optim import PlateauState, plateau_scale
+        ds = small_ds()
+        tr_off = SageTrainer(ds, small_cfg(plateau_patience=0))
+        tr_on = SageTrainer(ds, small_cfg(plateau_patience=5))
+
+        def has_plateau(tr):
+            return any(isinstance(l, PlateauState) for l in jax.tree_util.tree_leaves(
+                tr.opt_state, is_leaf=lambda x: isinstance(x, PlateauState)))
+
+        assert not has_plateau(tr_off)
+        assert has_plateau(tr_on)
+        assert float(plateau_scale(tr_off.opt_state)) == 1.0
+
+    def test_zero_trains_fused_sparse(self):
+        """The fused path's in-kernel lr coupling must tolerate the missing
+        plateau transform (lr_eff = lr * 1.0)."""
+        ds = small_ds()
+        tr = SageTrainer(ds, small_cfg(sparse=True, plateau_patience=0,
+                                       epochs=2))
+        r = tr.fit()
+        assert np.isfinite(r["history"][-1]["loss"])
+
+    def test_cli_flag_parses(self):
+        from falcon_ttdforgnns_tpu.utils.config import parse_args
+        args = parse_args(["--plateau-patience", "0"])
+        assert args.plateau_patience == 0
+        assert parse_args([]).plateau_patience == 800
