@@ -85,6 +85,7 @@ def products_step_model(bf16: bool):
                       for i in range(3)))
     return dict(n_ids=n_ids, edges=B * sum(widths[1:]), samples=B,
                 flops=tt_flops + tower_flops, bytes=bytes_total,
+                tt_flops=tt_flops, tower_flops=tower_flops,
                 psum_bytes=4 * n_params, n_params=n_params)
 
 
