@@ -107,7 +107,9 @@ def main(argv=None):
                 seed=args.seed, dist=args.dist, num_chips=args.num_chips,
                 data_shards=args.data_shards, bf16=args.bf16,
                 bf16_tower=args.bf16_tower, bf16_kernel=args.bf16_kernel,
-                bf16_mean_f32=args.bf16_mean_f32, bf16_sr=args.bf16_sr)
+                bf16_mean_f32=args.bf16_mean_f32, bf16_sr=args.bf16_sr,
+                bf16_f32_head=args.bf16_f32_head,
+                bf16_f32_first=args.bf16_f32_first)
             trainer = SageTrainer(ds, cfg, logger=logger,
                                   precomputed_cores=precomputed)
         else:

@@ -100,6 +100,13 @@ class SAGE(nn.Module):
     # the reduction, so only the accumulator is wide.  Candidate fix for
     # the bf16 convergence lag if the tower half is responsible.
     mean_acc_f32: bool = False
+    # bf16 tower-ceiling mechanism probes (round-5): run the LAST conv
+    # (logits head — tiny (B,1,H) activations, so ~zero HBM cost) or the
+    # FIRST conv (biggest fanout levels — f32 input promotion is the
+    # round-3 copy cost, acceptable for an 8-epoch mechanism probe) in
+    # f32 while the rest of the tower stays bf16.
+    bf16_f32_head: bool = False
+    bf16_f32_first: bool = False
 
     def setup(self):
         self.embed_layer = make_embed_layer(
@@ -110,7 +117,15 @@ class SAGE(nn.Module):
             device_freq=self.device_freq)
         dims = [self.hidden_dim] * (self.num_layers - 1) + [self.num_classes]
         cdt = jnp.bfloat16 if self.bf16 else None
-        self.convs = [SAGEConv(d, name=f"conv_{i}", dtype=cdt)
+
+        def layer_dtype(i):
+            if self.bf16_f32_head and i == len(dims) - 1:
+                return None  # flax promotes bf16 inputs to the f32 params
+            if self.bf16_f32_first and i == 0:
+                return None
+            return cdt
+
+        self.convs = [SAGEConv(d, name=f"conv_{i}", dtype=layer_dtype(i))
                       for i, d in enumerate(dims)]
         self.dropout_layer = nn.Dropout(self.dropout)
 

@@ -82,6 +82,10 @@ class TrainConfig:
     # stochastic rounding on the fused kernel's bf16 h_all store (candidate
     # fix for the kernel half of the lag; ops/tt_pallas.py _sr_cast)
     bf16_sr: bool = False
+    # tower-ceiling mechanism probes (r5): f32 last / first conv layer
+    # under a bf16 tower (models/sage.py bf16_f32_head / bf16_f32_first)
+    bf16_f32_head: bool = False
+    bf16_f32_first: bool = False
     # Device-resident multi-step: stack S sampled batches host-side and run
     # S optimizer steps inside one jitted fori_loop per dispatch.  Amortizes
     # host/dispatch overhead (essential under remote-attached TPUs; measured
@@ -195,6 +199,11 @@ class SageTrainer:
         if cfg.bf16_mean_f32 and not (cfg.bf16 or cfg.bf16_tower):
             warn("--bf16-mean-f32 has no effect without --bf16/--bf16-tower "
                  "(the tower means are already f32); running unchanged")
+        if (cfg.bf16_f32_head or cfg.bf16_f32_first) and not (
+                cfg.bf16 or cfg.bf16_tower):
+            warn("--bf16-f32-head/--bf16-f32-first have no effect without "
+                 "--bf16/--bf16-tower (the tower is already f32); "
+                 "running unchanged")
         self.model = SAGE(
             num_nodes=dataset.num_nodes,
             in_dim=dataset.feat_dim,
@@ -219,6 +228,8 @@ class SageTrainer:
             # flag to the sampled trainers and run full-neighbor in f32
             bf16=(cfg.bf16 or cfg.bf16_tower) and cfg.use_sample,
             mean_acc_f32=cfg.bf16_mean_f32,
+            bf16_f32_head=cfg.bf16_f32_head,
+            bf16_f32_first=cfg.bf16_f32_first,
             # with in-jit sampling the host loader never runs, so the
             # device-side LFU counters are the only frequency source
             device_freq=(cfg.mode == "puregpu" and cfg.cache_size > 0),

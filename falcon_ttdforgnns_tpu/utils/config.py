@@ -115,6 +115,14 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "h_all store (in-VMEM hashed dither, zero extra "
                         "HBM bytes) — convergence-lag fix candidate for "
                         "the kernel half")
+    t.add_argument("--bf16-f32-head", action="store_true",
+                   help="with a bf16 tower: run the LAST conv (logits "
+                        "head) in f32 — tower-ceiling mechanism probe, "
+                        "~zero HBM cost (the head level is (B,1,H))")
+    t.add_argument("--bf16-f32-first", action="store_true",
+                   help="with a bf16 tower: run the FIRST conv in f32 — "
+                        "tower-ceiling mechanism probe (pays the f32 "
+                        "input-promotion copies on the biggest levels)")
     t.add_argument("--use-tt", action="store_true", default=True)
     t.add_argument("--no-tt", dest="use_tt", action="store_false")
     t.add_argument("--tt-rank", type=_int_list, default=[16, 16])

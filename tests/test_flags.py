@@ -696,3 +696,34 @@ class TestPlateauPatience:
         args = parse_args(["--plateau-patience", "0"])
         assert args.plateau_patience == 0
         assert parse_args([]).plateau_patience == 800
+
+
+class TestBf16F32Layers:
+    def test_f32_head_and_first_change_dtypes(self):
+        """--bf16-f32-head / --bf16-f32-first: the named conv runs f32
+        under a bf16 tower (its conv output is f32; the rest stay bf16).
+        Mechanism probes for the bf16 tower ceiling (round 5)."""
+        ds = small_ds(n=600)
+        common = dict(mode="puregpu", steps_per_call=2, batch_size=32,
+                      dropout=0.0, bf16=True)
+        losses = {}
+        for name, kw in [("plain", {}), ("head", {"bf16_f32_head": True}),
+                         ("first", {"bf16_f32_first": True})]:
+            tr = SageTrainer(ds, small_cfg(**common, **kw))
+            assert tr.model.bf16_f32_head == (name == "head")
+            assert tr.model.bf16_f32_first == (name == "first")
+            m = tr.train_epoch(0)
+            losses[name] = m["loss"]
+            assert np.isfinite(m["loss"])
+            # params stay f32 in every arm
+            for leaf in jax.tree.leaves(tr.variables["params"]):
+                assert leaf.dtype == np.float32
+        assert abs(losses["head"] - losses["plain"]) < 5e-2
+        assert abs(losses["first"] - losses["plain"]) < 5e-2
+
+    def test_cli_flags_parse(self):
+        from falcon_ttdforgnns_tpu.utils.config import parse_args
+        a = parse_args(["--bf16", "--bf16-f32-head"])
+        assert a.bf16_f32_head and not a.bf16_f32_first
+        a = parse_args(["--bf16", "--bf16-f32-first"])
+        assert a.bf16_f32_first
