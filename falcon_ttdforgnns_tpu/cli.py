@@ -86,6 +86,8 @@ def main(argv=None):
                 cache_size=args.cache_size if args.use_cached else 0,
                 tt_optimizer=args.tt_optimizer,
                 plateau_patience=args.plateau_patience,
+                plateau_rtol=args.plateau_rtol,
+                plateau_smooth=args.plateau_smooth,
                 sparse=args.sparse,
                 batch_count=args.batch_count,
                 spmm=args.spmm,

@@ -108,13 +108,15 @@ def rowwise_adagrad(lr: float, eps: float = ROWWISE_ADAGRAD_EPS) -> optax.Gradie
 
 class PlateauState(NamedTuple):
     scale: jax.Array          # current lr multiplier
-    best_value: jax.Array     # best loss seen
+    best_value: jax.Array     # best (smoothed) loss seen
     plateau_count: jax.Array  # steps since improvement
+    ema: jax.Array            # smoothed loss (= raw value when smoothing=0)
 
 
 def reduce_on_plateau(patience: int = 800, factor: float = 0.5,
                       rtol: float = 1e-4, atol: float = 0.0,
-                      min_scale: float = 0.0) -> optax.GradientTransformationExtraArgs:
+                      min_scale: float = 0.0,
+                      smoothing: float = 0.0) -> optax.GradientTransformationExtraArgs:
     """Branch-free ReduceLROnPlateau (semantics of
     `torch.optim.lr_scheduler.ReduceLROnPlateau` stepped per train step on
     the loss, `sage_dgl_partition.py:107,319`; same math as
@@ -125,16 +127,31 @@ def reduce_on_plateau(patience: int = 800, factor: float = 0.5,
     inside the products train loop on the v5e (vs 35 ms for the whole rest
     of the step) — scalar conds inside the jitted while-loop hit a
     pathological XLA/TPU path.  This ``jnp.where`` formulation costs
-    nothing (scripts/step_bisect4.py)."""
+    nothing (scripts/step_bisect4.py).
+
+    ``smoothing`` (EMA coefficient, 0 = compare raw values — exact torch
+    parity): the ratchet compares an exponential moving average of the
+    loss instead of each raw sample.  Needed when the loss is measured
+    through bf16 (~1e-2 relative quantization noise): a lucky-low raw
+    sample sets ``best_value`` below anything genuine progress can beat,
+    the patience expires, and the lr halves into the noise floor — the
+    round-4 full-bf16 ~0.933 accuracy ceiling (round-5 probe: disabling
+    the plateau restores the f32 convergence pace).  An EMA with
+    ``smoothing=1/64`` suppresses the noise ~8x while tracking the trend
+    with a ~64-step lag — far inside the 800-step patience."""
 
     def init(params):
         return PlateauState(scale=jnp.asarray(1.0, jnp.float32),
                             best_value=jnp.asarray(jnp.inf, jnp.float32),
-                            plateau_count=jnp.asarray(0, jnp.int32))
+                            plateau_count=jnp.asarray(0, jnp.int32),
+                            ema=jnp.asarray(jnp.inf, jnp.float32))
 
     def update(updates, state, params=None, *, value, **extra):
         del params, extra
         v = jnp.asarray(value, jnp.float32)
+        if smoothing > 0.0:
+            v = jnp.where(jnp.isinf(state.ema), v,
+                          (1 - smoothing) * state.ema + smoothing * v)
         improved = v < (1 - rtol) * state.best_value - atol
         best = jnp.where(improved, v, state.best_value)
         pc = jnp.where(improved, 0, state.plateau_count + 1)
@@ -144,7 +161,7 @@ def reduce_on_plateau(patience: int = 800, factor: float = 0.5,
         pc = jnp.where(hit, 0, pc)
         updates = jax.tree.map(lambda g: scale * g, updates)
         return updates, PlateauState(scale=scale, best_value=best,
-                                     plateau_count=pc)
+                                     plateau_count=pc, ema=v)
 
     return optax.GradientTransformationExtraArgs(init, update)
 
@@ -174,12 +191,20 @@ def make_optimizer(
     plateau: bool = True,
     plateau_patience: int = 800,
     plateau_factor: float = 0.5,
+    plateau_rtol: float = 1e-4,
+    plateau_smoothing: float = 0.0,
     grad_clip: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """Build the routed optimizer.  ``plateau`` reproduces the reference's
     per-step ``ReduceLROnPlateau(patience=800)`` on training loss
     (`sage_dgl_partition.py:107,319`) via ``optax.contrib.reduce_on_plateau``
-    — callers must pass ``value=loss`` as an update kwarg."""
+    — callers must pass ``value=loss`` as an update kwarg.
+
+    ``plateau_rtol`` is the improvement threshold (torch's ``threshold``,
+    default 1e-4); ``plateau_smoothing`` feeds the ratchet an EMA of the
+    loss instead of raw samples — pass ~1/64 when the loss is computed
+    through bf16 (see :func:`reduce_on_plateau` for the noise-ratchet
+    failure mode this prevents)."""
     tt_lr = tt_lr if tt_lr is not None else lr
     cache_lr = cache_lr if cache_lr is not None else lr
 
@@ -220,7 +245,8 @@ def make_optimizer(
     chain.append(tx)
     if plateau:
         chain.append(reduce_on_plateau(
-            patience=plateau_patience, factor=plateau_factor))
+            patience=plateau_patience, factor=plateau_factor,
+            rtol=plateau_rtol, smoothing=plateau_smoothing))
     return optax.chain(*chain)
 
 

@@ -48,7 +48,18 @@ class TrainConfig:
     weight_dist: str = "approx-normal"
     cache_size: int = 0
     tt_optimizer: str = "adam"
-    plateau_patience: int = 800  # 0 disables reduce-on-plateau entirely
+    # ReduceLROnPlateau patience in steps; 0 disables it entirely; -1 =
+    # AUTO: 800 (reference parity) in f32, DISABLED under a bf16 tower —
+    # the round-4 full-bf16 ~0.933 accuracy ceiling was the plateau
+    # ratchet reading bf16 loss noise as no-improvement and halving the
+    # lr into the noise floor (round-5 chip probe: plateau-off bf16
+    # restores the f32 convergence pace; logs/r5_cert.log)
+    plateau_patience: int = -1
+    plateau_rtol: float = 1e-4   # torch ReduceLROnPlateau threshold parity
+    # EMA smoothing of the plateau's loss input (manual knob; 0 = raw
+    # torch parity).  Synthetic sweeps show the EMA's autocorrelation can
+    # itself trip the patience on slow trends, so it is NOT auto-enabled.
+    plateau_smooth: float = 0.0
     eval_every: int = 1
     log_every: int = 20
     seed: int = 0
@@ -234,11 +245,25 @@ class SageTrainer:
             # device-side LFU counters are the only frequency source
             device_freq=(cfg.mode == "puregpu" and cfg.cache_size > 0),
         )
+        patience = cfg.plateau_patience
+        if patience < 0:  # AUTO: parity in f32, off under a bf16 tower
+            if cfg.bf16 or cfg.bf16_tower:
+                patience = 0
+                if logger:
+                    logger.info(
+                        "bf16 tower: reduce-on-plateau auto-disabled (its "
+                        "ratchet reads bf16 loss noise as a plateau and "
+                        "halves lr into the noise floor — the r4 accuracy "
+                        "ceiling); pass --plateau-patience to force it on")
+            else:
+                patience = 800
         self.tx = make_optimizer(
             lr=cfg.lr, weight_decay=cfg.weight_decay,
             tt_optimizer=cfg.tt_optimizer,
-            plateau=cfg.plateau_patience > 0,
-            plateau_patience=cfg.plateau_patience)
+            plateau=patience > 0,
+            plateau_patience=max(patience, 1),
+            plateau_rtol=cfg.plateau_rtol,
+            plateau_smoothing=cfg.plateau_smooth)
         self.loader = NeighborLoader(
             dataset.graph, dataset.train_idx, dataset.labels,
             cfg.fanouts, cfg.batch_size, seed=cfg.seed,

@@ -24,10 +24,19 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     g.add_argument("--dataset", type=str, default="ogbn-products")
     g.add_argument("--epochs", type=int, default=2)
     g.add_argument("--lr", type=float, default=0.003)
-    g.add_argument("--plateau-patience", type=int, default=800,
+    g.add_argument("--plateau-patience", type=int, default=-1,
                    help="ReduceLROnPlateau patience in steps "
                         "(sage_dgl_partition.py:107); 0 disables the "
-                        "plateau scheduler entirely")
+                        "scheduler; -1 = auto: 800 in f32, DISABLED "
+                        "under a bf16 tower (whose loss noise the "
+                        "ratchet reads as a plateau, halving lr into "
+                        "the noise floor — the r4 bf16 accuracy ceiling)")
+    g.add_argument("--plateau-rtol", type=float, default=1e-4,
+                   help="plateau improvement threshold (torch threshold "
+                        "parity)")
+    g.add_argument("--plateau-smooth", type=float, default=0.0,
+                   help="EMA smoothing of the plateau's loss input "
+                        "(manual knob; 0 = raw torch parity)")
     g.add_argument("--dropout", type=float, default=0.5)
     g.add_argument("--wd", type=float, default=0.0, help="weight decay")
     g.add_argument("--seed", type=int, default=0)

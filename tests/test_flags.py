@@ -695,7 +695,26 @@ class TestPlateauPatience:
         from falcon_ttdforgnns_tpu.utils.config import parse_args
         args = parse_args(["--plateau-patience", "0"])
         assert args.plateau_patience == 0
-        assert parse_args([]).plateau_patience == 800
+        assert parse_args([]).plateau_patience == -1  # auto
+
+    def test_auto_disables_under_bf16(self):
+        """plateau_patience=-1 (auto): reference-parity 800 in f32,
+        DISABLED under a bf16 tower (the r4 bf16 accuracy ceiling was the
+        plateau ratchet; certified fix, logs/r5_cert.log)."""
+        from falcon_ttdforgnns_tpu.train.optim import PlateauState
+        ds = small_ds()
+
+        def has_plateau(tr):
+            return any(isinstance(l, PlateauState)
+                       for l in jax.tree_util.tree_leaves(
+                           tr.opt_state,
+                           is_leaf=lambda x: isinstance(x, PlateauState)))
+
+        assert has_plateau(SageTrainer(ds, small_cfg()))            # f32 auto
+        assert not has_plateau(SageTrainer(ds, small_cfg(bf16=True)))  # bf16 auto
+        # explicit patience wins over the auto rule
+        assert has_plateau(SageTrainer(ds, small_cfg(bf16=True,
+                                                     plateau_patience=5)))
 
 
 class TestBf16F32Layers:

@@ -155,3 +155,55 @@ def test_reset_cache_opt_state_only_resets_cache():
     for a, b in zip(jax.tree.leaves(st.inner_states["model"]),
                     jax.tree.leaves(st2.inner_states["model"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_plateau_smoothing_zero_is_exact_parity():
+    """smoothing=0 must reproduce the raw-value ratchet bit-for-bit (the
+    reference-parity default in f32)."""
+    import jax.numpy as jnp
+    from falcon_ttdforgnns_tpu.train.optim import reduce_on_plateau
+
+    tx0 = reduce_on_plateau(patience=3, factor=0.5)
+    txs = reduce_on_plateau(patience=3, factor=0.5, smoothing=0.0)
+    s0, ss = tx0.init(None), txs.init(None)
+    params = {"w": jnp.zeros(2)}
+    for v in [1.0, 0.9, 0.95, 0.94, 0.93, 0.92, 0.5, 0.6]:
+        _, s0 = tx0.update({"w": jnp.zeros(2)}, s0, params, value=v)
+        _, ss = txs.update({"w": jnp.zeros(2)}, ss, params, value=v)
+        assert float(s0.scale) == float(ss.scale)
+        assert float(s0.best_value) == float(ss.best_value)
+
+
+def test_trainer_threads_plateau_knobs():
+    from falcon_ttdforgnns_tpu.graph import synthetic_dataset
+    from falcon_ttdforgnns_tpu.train import SageTrainer, TrainConfig
+
+    ds = synthetic_dataset(num_nodes=600, avg_degree=6, num_classes=4,
+                           feat_dim=16, seed=0)
+
+    def cfg(**kw):
+        return TrainConfig(batch_size=16, fanouts=(2, 3), epochs=1,
+                           hidden_dim=16, num_layers=2, tt_ranks=(4, 4),
+                           weight_dist="normal", skip_eval=True, **kw)
+
+    import falcon_ttdforgnns_tpu.train.trainer as T
+    seen = {}
+    orig = T.make_optimizer
+
+    def spy(**kw):
+        seen.update(kw)
+        return orig(**kw)
+
+    T.make_optimizer = spy
+    try:
+        SageTrainer(ds, cfg())
+        assert seen["plateau"] and seen["plateau_patience"] == 800
+        SageTrainer(ds, cfg(bf16=True))
+        assert not seen["plateau"]          # auto-disable under bf16
+        SageTrainer(ds, cfg(bf16=True, plateau_patience=7,
+                            plateau_smooth=0.25, plateau_rtol=3e-3))
+        assert seen["plateau"] and seen["plateau_patience"] == 7
+        assert seen["plateau_smoothing"] == 0.25
+        assert seen["plateau_rtol"] == 3e-3
+    finally:
+        T.make_optimizer = orig
