@@ -172,7 +172,8 @@ class SAGE(nn.Module):
                 # dtype pin: jnp.mean silently upcasts bf16 inputs to f32
                 # for accumulation, materializing the biggest fanout level
                 # as an f32 copy (307 MB at products scale — measured
-                # 3.8 ms/step of convert+copy+reshape, logs/r3_profile.log).
+                # 3.8 ms/step of convert+copy+reshape; round-3 log lost to
+                # a container reset — re-capture: logs/r5_puregpu_trace.log).
                 # Under --bf16 the ~1e-2 accumulation error over <=15 terms
                 # is within the opt-in's precision contract.
                 acc_dt = (jnp.float32 if (self.mean_acc_f32

@@ -502,7 +502,8 @@ def tt_lookup_pallas(shapes: TTShapes, cores: Cores, indices: jax.Array,
     ``interpret`` defaults to True off-TPU (tests on CPU).
     ``out_dtype`` (default f32): bf16 halves the HBM bytes of the output —
     at products scale h_all is 375 MB f32 and every downstream layout
-    copy/reduce pays those bytes again (measured, logs/r3_profile.log)."""
+    copy/reduce pays those bytes again (measured round 3; that log was
+    lost to a container reset — re-capture: logs/r5_puregpu_trace.log)."""
     compute_dtype, interpret = _resolve(compute_dtype, interpret)
     out_dtype = out_dtype or jnp.float32
     if shapes.ndim not in (2, 3, 4):
@@ -676,7 +677,8 @@ def tt_lookup_fused_bf16(shapes: TTShapes, block: int, cores: Cores,
     in bfloat16 and the backward consumes the bf16 cotangent natively —
     at products scale h_all/d_h are 375 MB each in f32 and the step's
     non-kernel remainder is dominated by layout copies over exactly these
-    bytes (logs/r3_profile.log); halving them halves that traffic.  Core
+    bytes (measured round 3; log lost to a container reset — re-capture:
+    logs/r5_puregpu_trace.log); halving them halves that traffic.  Core
     params and gradients stay f32."""
     return tt_lookup_pallas_padded(shapes, cores, indices, block,
                                    out_dtype=jnp.bfloat16)

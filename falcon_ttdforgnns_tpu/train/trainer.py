@@ -634,7 +634,8 @@ class SageTrainer:
             # --bf16: the kernel stores h_all in bf16 and the backward
             # consumes the bf16 d_h natively — halves the HBM bytes of the
             # step's dominant non-kernel traffic (the 375 MB h_all/d_h
-            # tensors and their layout copies; logs/r3_profile.log)
+            # tensors and their layout copies; measured round 3, log lost
+            # to a container reset — re-capture: logs/r5_puregpu_trace.log)
             if (cfg.bf16 or cfg.bf16_kernel) and cfg.bf16_sr:
                 # --bf16-sr: stochastic rounding on the bf16 h_all store —
                 # per-step seed from the dropout rng so the dither never
