@@ -1,15 +1,31 @@
 #!/bin/bash
-# Round-5 papers run #2: same 1.67B-edge partition-128 config as run #1
-# but full --bf16 — with the round-5 plateau auto-disable this is the
-# recommended mode (products cert 0.99975 ABOVE f32+plateau).  Tests the
-# fix where it matters: papers scale, where round 4's f32+plateau curve
-# was still climbing at budget end.  Gated on run #1 releasing the chip.
+# Round-5 papers run #2 — two chip runs, in value order:
+#
+#   0. f32 + plateau-OFF products cert (20 ep): completes the 2x2 the
+#      round-5 bf16 finding opened.  bf16+plateau-off certified 0.99975
+#      vs f32+plateau's 0.9923 — but the f32+plateau curve peaks at
+#      epoch 11 and flatlines, which suggests the plateau ratchet also
+#      freezes f32.  Without this arm the docs' "bf16 ABOVE f32" line
+#      could be a plateau artifact, not a precision statement.
+#   1. papers-scale full --bf16 (30 ep): same 1.67B-edge partition-128
+#      config as run #1 but bf16 — with the plateau auto-disable this is
+#      the recommended mode; tests the fix where it matters.  Gated on
+#      run #1 releasing the chip (caller serializes).
 set -u
 cd "$(dirname "$0")/.."
-for i in $(seq 1 720); do
-  grep -q "R5 PAPERS RUN DONE" logs/r5_papers_run.log 2>/dev/null && break
-  sleep 60
-done
+export PATH=/opt/venv/bin:$PATH
+
+L0=logs/r5_f32_noplateau.log
+echo "=== $(date -u +%H:%M:%S) f32 plateau-off 20ep control" >> "$L0"
+timeout 2700 python -m falcon_ttdforgnns_tpu.cli --model sage \
+  --dataset hard-ogbn-products --epochs 20 --mode puregpu --sparse \
+  --plateau-patience 0 --log-every 500 >> "$L0" 2>&1
+echo "--- exit $? at $(date -u +%H:%M:%S)" >> "$L0"
+git add -f "$L0" 2>/dev/null
+git commit -q -m "Receipt: f32 plateau-off 20-epoch control (completes the plateau 2x2)
+
+No-Verification-Needed: measurement log artifact only, no code change" || true
+
 L=logs/r5_papers_run2.log
 echo "=== $(date -u +%H:%M:%S) papers 30-epoch bf16 run" >> "$L"
 timeout 12000 python -m falcon_ttdforgnns_tpu.cli --model sage \
