@@ -9,8 +9,14 @@
 set -u
 cd "$(dirname "$0")/.."
 L=logs/r5_papers_run.log
-echo "=== $(date -u +%H:%M:%S) papers 30-epoch run" >> "$L"
-timeout 12000 python -m falcon_ttdforgnns_tpu.cli --model sage \
+# Cap so the follow-on arms (f32 plateau-off, papers bf16) get chip time
+# before the round ends ~00:14 (see r5_papers_run2.sh for the deadlock
+# rationale).
+now=$(date -u +%s); end=$(date -u -d '23:15' +%s)
+[ "$end" -le "$now" ] && end=$((now + 600))
+cap=$((end - now)); [ "$cap" -gt 12000 ] && cap=12000
+echo "=== $(date -u +%H:%M:%S) papers 30-epoch run (cap ${cap}s)" >> "$L"
+timeout "$cap" python -m falcon_ttdforgnns_tpu.cli --model sage \
   --dataset hard-ogbn-papers100M --synthetic-scale 0.5 --official-split \
   --partition 128 --mode puregpu --sparse --steps-per-call 48 \
   --batch 1024 --fan-out 5,10,15 --epochs 30 \

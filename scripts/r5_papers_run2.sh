@@ -27,8 +27,13 @@ git commit -q -m "Receipt: f32 plateau-off 20-epoch control (completes the plate
 No-Verification-Needed: measurement log artifact only, no code change" || true
 
 L=logs/r5_papers_run2.log
-echo "=== $(date -u +%H:%M:%S) papers 30-epoch bf16 run" >> "$L"
-timeout 12000 python -m falcon_ttdforgnns_tpu.cli --model sage \
+# Cap so the chip is FREE before the driver's round-end bench.py — a
+# second JAX process on the relay deadlocks, and the round ends ~00:14.
+now=$(date -u +%s); end=$(date -u -d '23:52' +%s)
+[ "$end" -le "$now" ] && end=$((now + 600))
+cap=$((end - now)); [ "$cap" -gt 12000 ] && cap=12000
+echo "=== $(date -u +%H:%M:%S) papers 30-epoch bf16 run (cap ${cap}s)" >> "$L"
+timeout "$cap" python -m falcon_ttdforgnns_tpu.cli --model sage \
   --dataset hard-ogbn-papers100M --synthetic-scale 0.5 --official-split \
   --partition 128 --mode puregpu --sparse --bf16 --steps-per-call 48 \
   --batch 1024 --fan-out 5,10,15 --epochs 30 \
