@@ -41,6 +41,13 @@ def main():
                       hidden_dim=32 if small else 256,
                       num_layers=2 if small else 3,
                       tt_ranks=(4, 4) if small else (16, 16),
+                      # pin the certified products TT config — the default
+                      # suggested shapes compile a fused-Adam kernel whose
+                      # scoped-VMEM footprint exceeds the v5e limit (48.6M
+                      # vs 41.3M, first session-2 attempt)
+                      **({} if small else dict(
+                          p_shapes=(125, 140, 140), q_shapes=(5, 5, 4),
+                          weight_dist="approx-normal")),
                       # skip the trainer's own per-epoch eval; we eval here
                       skip_eval=True,
                       eval_sample_max=200_000)

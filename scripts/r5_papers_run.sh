@@ -8,6 +8,16 @@
 # (b) the full-papers host feasibility job is not in a >60 GB phase.
 set -u
 cd "$(dirname "$0")/.."
+# eval_bias retry first (its first slot crashed on a scoped-VMEM compile
+# OOM from the default TT shapes — now pinned to the certified config);
+# the papers run still fits before its wall-clock cap.
+timeout 3000 python scripts/r5_eval_bias.py 8 >> logs/r5_eval_bias.log 2>&1
+echo "--- eval_bias retry exit $? at $(date -u +%H:%M:%S)" >> logs/r5_eval_bias.log
+git add -f logs/r5_eval_bias.log 2>/dev/null
+git commit -q -m "Receipt: sampled vs full-neighbor eval bias (retry with pinned TT shapes)
+
+No-Verification-Needed: measurement log artifact only" || true
+
 L=logs/r5_papers_run.log
 # Cap so the follow-on arms (f32 plateau-off, papers bf16) get chip time
 # before the round ends ~00:14 (see r5_papers_run2.sh for the deadlock
