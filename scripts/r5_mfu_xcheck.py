@@ -76,17 +76,30 @@ def aggregate(logdir: str, S: int):
     xs = xplane_pb2.XSpace()
     with open(paths[-1], "rb") as f:
         xs.ParseFromString(f.read())
+    # Two disjoint views (the first session-2 capture summed EVERY event
+    # on every XLA line, so nested parents — jit module, while bodies —
+    # double-counted into a 154 ms "total" for a 33 ms step):
+    #   module_ms: the "XLA Modules" line's whole-program events — the
+    #              honest device total per dispatch
+    #   agg:       leaf ops from the "XLA Ops" line only, control-flow
+    #              parents (while./conditional./call.) excluded
     agg = defaultdict(float)
+    module_ms = 0.0
     for plane in xs.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name:
             continue
         meta = {k: m.name for k, m in plane.event_metadata.items()}
         for line in plane.lines:
-            if "XLA" not in line.name:
-                continue
-            for ev in line.events:
-                agg[meta.get(ev.metadata_id, "?")] += ev.duration_ps / 1e9
-    return agg  # name -> total ms over the S-step dispatch
+            if line.name == "XLA Modules":
+                module_ms += sum(ev.duration_ps / 1e9 for ev in line.events)
+            elif line.name == "XLA Ops":
+                for ev in line.events:
+                    n = meta.get(ev.metadata_id, "?")
+                    if n.lstrip("%").startswith(("while.", "conditional.",
+                                                 "call.")):
+                        continue
+                    agg[n] += ev.duration_ps / 1e9
+    return agg, module_ms  # ms over the S-step dispatch
 
 
 def main():
@@ -96,16 +109,18 @@ def main():
     logdir = args[1] if len(args) > 1 else "/tmp/jax_trace_r5"
 
     capture(S, bf16, logdir)
-    agg = aggregate(logdir, S)
+    agg, module_ms = aggregate(logdir, S)
 
     kern = sum(ms for n, ms in agg.items()
-               if "custom-call" in n or "tt_" in n or "pallas" in n)
+               if "custom-call" in n or "closed_call" in n or "tt_" in n
+               or "pallas" in n)
     # tower GEMMs land in XLA fusions named after dots/convolutions
     tower = sum(ms for n, ms in agg.items()
                 if ("fusion" in n or "dot" in n or "convolution" in n)
-                and not ("custom-call" in n or "tt_" in n))
-    other = sum(agg.values()) - kern - tower
-    total = sum(agg.values())
+                and not ("custom-call" in n or "closed_call" in n
+                         or "tt_" in n))
+    total = module_ms if module_ms else sum(agg.values())
+    other = total - kern - tower
 
     m = products_step_model(bf16)
     kern_ms, tower_ms = kern / S, tower / S

@@ -18,6 +18,15 @@ git commit -q -m "Receipt: sampled vs full-neighbor eval bias (retry with pinned
 
 No-Verification-Needed: measurement log artifact only" || true
 
+# mfu_xcheck re-run with the fixed xplane aggregation (first capture
+# double-counted nested events into a 154 ms "total" for a 33 ms step)
+timeout 1800 python scripts/r5_mfu_xcheck.py 48 >> logs/r5_mfu_xcheck.log 2>&1
+echo "--- mfu retry exit $? at $(date -u +%H:%M:%S)" >> logs/r5_mfu_xcheck.log
+git add -f logs/r5_mfu_xcheck.log 2>/dev/null
+git commit -q -m "Receipt: MFU model-vs-trace cross-check (fixed leaf-only aggregation)
+
+No-Verification-Needed: measurement log artifact only" || true
+
 L=logs/r5_papers_run.log
 # Cap so the follow-on arms (f32 plateau-off, papers bf16) get chip time
 # before the round ends ~00:14 (see r5_papers_run2.sh for the deadlock
