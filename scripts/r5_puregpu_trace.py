@@ -56,21 +56,31 @@ def main():
     with open(paths[-1], "rb") as f:
         xs.ParseFromString(f.read())
     n_steps = tr.step // 2  # two epochs' steps; epoch 1 traced
+    # leaf ops from the "XLA Ops" line only (control-flow parents
+    # excluded); module line separately for the honest device total —
+    # summing every XLA line double-counts nested events (the bug the
+    # first session-2 mfu_xcheck capture hit)
     agg = defaultdict(float)
     cnt = defaultdict(int)
+    module_ms = 0.0
     for plane in xs.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name:
             continue
         meta = {k: m.name for k, m in plane.event_metadata.items()}
         for line in plane.lines:
-            if "XLA" not in line.name:
-                continue
-            for ev in line.events:
-                name = meta.get(ev.metadata_id, "?")
-                agg[name] += ev.duration_ps / 1e9
-                cnt[name] += 1
+            if line.name == "XLA Modules":
+                module_ms += sum(ev.duration_ps / 1e9 for ev in line.events)
+            elif line.name == "XLA Ops":
+                for ev in line.events:
+                    name = meta.get(ev.metadata_id, "?")
+                    if name.lstrip("%").startswith(("while.", "conditional.",
+                                                    "call.")):
+                        continue
+                    agg[name] += ev.duration_ps / 1e9
+                    cnt[name] += 1
     total = sum(agg.values())
-    print(f"\nXLA-op total {total:.1f} ms over ~{n_steps} steps "
+    print(f"\ndevice module total {module_ms / max(n_steps, 1):.2f} ms/step; "
+          f"leaf-op total {total:.1f} ms over ~{n_steps} steps "
           f"({total / max(n_steps, 1):.2f} ms/step)")
     for n, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:35]:
         print(f"  {ms / max(n_steps, 1):7.3f} ms/step x{cnt[n]:<6d} {n[:110]}")
